@@ -1,0 +1,223 @@
+"""Tests for label processing, augmentation geometry, synth data and patch pipeline."""
+
+import json
+import os
+import pickle
+
+import cv2
+import numpy as np
+import pytest
+from scipy.ndimage import distance_transform_edt
+
+from mpp_cnn_rs_object_detection_tpu.data.augmentation import (
+    DataAugment,
+    flip_points,
+    rot90_points,
+)
+from mpp_cnn_rs_object_detection_tpu.data.dataset import (
+    BatchLoader,
+    ImageDataset,
+    extract_patch,
+)
+from mpp_cnn_rs_object_detection_tpu.data.label_processing import (
+    PosLabelProcessor,
+    ShapeLabelProcessor,
+    nearest_center_fields,
+    rect_mask,
+)
+from mpp_cnn_rs_object_detection_tpu.data.patch_making import make_patch_dataset
+from mpp_cnn_rs_object_detection_tpu.data.synth import make_synth, make_synth_dataset
+from mpp_cnn_rs_object_detection_tpu.ops.geometry import rect_to_poly
+from mpp_cnn_rs_object_detection_tpu.ops.mappings import default_mappings
+
+
+def test_nearest_center_distance_matches_edt():
+    rng = np.random.default_rng(0)
+    centers = rng.integers(0, 64, (10, 2))
+    bin_map = np.zeros((64, 64))
+    bin_map[centers[:, 0], centers[:, 1]] = 1
+    ref_dist = distance_transform_edt(1 - bin_map)
+    idx, dist = nearest_center_fields((64, 64), centers)
+    np.testing.assert_allclose(dist, ref_dist, atol=1e-9)
+    # index really is the nearest center
+    gy, gx = np.mgrid[:64, :64]
+    d_all = np.sqrt(
+        (gy[..., None] - centers[:, 0]) ** 2 + (gx[..., None] - centers[:, 1]) ** 2
+    )
+    np.testing.assert_allclose(dist, np.min(d_all, axis=-1))
+
+
+def test_pos_label_processor_uvec():
+    patch = np.zeros((32, 32, 3), dtype=np.float32)
+    centers = np.array([[10, 10], [25, 5]])
+    params = np.array([[4.0, 8.0, 0.3], [3.0, 6.0, 1.0]])
+    proc = PosLabelProcessor(max_distance=8, mode="uvec")
+    x, y = proc.process(patch, centers, params, 0)
+    vec = y["pointing_map"]
+    assert vec.shape == (32, 32, 2)
+    # at a pixel near a center, the vector points at the center with unit norm
+    p = (12, 10)
+    expected = (centers[0] - np.array(p)).astype(float)
+    expected /= np.linalg.norm(expected)
+    np.testing.assert_allclose(vec[p], expected, atol=1e-5)
+    # mask: 1 within max_distance, 0 outside
+    assert y["mask"][10, 10] == 1
+    assert y["mask"][10, 17] == 1  # dist 7 < 8
+    assert y["mask"][0, 31] == 0
+    # vectors zeroed outside mask
+    assert np.all(vec[y["mask"] == 0] == 0)
+    assert y["center_binary_map"][10, 10] and y["center_binary_map"].sum() == 2
+
+
+def test_pos_label_processor_empty():
+    patch = np.zeros((16, 16, 3), dtype=np.float32)
+    proc = PosLabelProcessor(max_distance=8, mode="uvec")
+    _, y = proc.process(patch, np.array([]), np.array([]), 0)
+    assert np.all(y["pointing_map"] == 0)
+    assert np.all(y["mask"] == 0)  # no valid region
+
+
+def test_rect_mask_matches_cv2_rasterisation():
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        c = rng.uniform(10, 50, 2)
+        a = rng.uniform(3, 10)
+        b = a + rng.uniform(1, 10)
+        w = rng.uniform(0, np.pi)
+        ours = rect_mask((64, 64), c, a, b, w)
+        poly = np.asarray(rect_to_poly(c, a, b, w))  # (4,2) in (row, col)
+        golden = np.zeros((64, 64), dtype=np.uint8)
+        cv2.fillPoly(golden, [poly[:, ::-1].round().astype(np.int32)], 1)
+        # rasterisations differ at edges only
+        disagreement = np.mean(ours != golden.astype(bool))
+        assert disagreement < 0.02, disagreement
+
+
+def test_shape_label_processor_shapes_mode():
+    maps = default_mappings()
+    patch = np.zeros((64, 64, 3), dtype=np.float32)
+    centers = np.array([[30, 30]])
+    params = np.array([[4.0, 10.0, 0.5]])  # a, b, w
+    proc = ShapeLabelProcessor(mappings=maps, mask_mode="shapes")
+    _, y = proc.process(patch, centers, params, 0)
+    s = (4.0 + 10.0) / 2
+    r = 4.0 / 10.0
+    assert y["value_class_map"][0][30, 30] == maps[0].value_to_class(s)
+    assert y["value_class_map"][1][30, 30] == maps[1].value_to_class(r)
+    assert y["value_class_map"][2][30, 30] == maps[2].value_to_class(0.5)
+    np.testing.assert_allclose(y["loss_mask"].sum(), 1.0, rtol=1e-5)
+    assert y["loss_mask"][30, 30] > 0
+    assert y["loss_mask"][0, 0] == 0
+
+
+def test_rot90_points_follow_image():
+    img = np.zeros((20, 30))
+    pt = np.array([[3, 7]])
+    img[3, 7] = 1
+    for k in range(4):
+        rot = np.rot90(img, k)
+        new_pt, _ = rot90_points(pt, np.array([0.4]), img.shape, k)
+        r, c = new_pt[0].astype(int)
+        assert rot[r, c] == 1, (k, new_pt)
+
+
+def test_flip_points_follow_image():
+    img = np.zeros((20, 30))
+    img[3, 7] = 1
+    for axis in (0, 1):
+        flipped = np.flip(img, axis)
+        new_pt, _ = flip_points(np.array([[3, 7]]), np.array([0.4]), img.shape, axis)
+        r, c = new_pt[0].astype(int)
+        assert flipped[r, c] == 1
+
+
+def test_rot90_angle_consistency_via_mask():
+    # rotate image with a painted rectangle; repaint with transformed marks
+    shape = (40, 40)
+    c = np.array([[17.0, 23.0]])
+    a, b, w = 5.0, 12.0, 0.7
+    mask_img = rect_mask(shape, c[0], a, b, w).astype(float)
+    rot = np.rot90(mask_img, 1)
+    new_c, new_w = rot90_points(c, np.array([w]), shape, 1)
+    repainted = rect_mask(rot.shape, new_c[0], a, b, new_w[0]).astype(float)
+    agreement = np.mean((rot > 0.5) == (repainted > 0.5))
+    assert agreement > 0.98, agreement
+
+
+def test_extract_patch_border_padding():
+    img = np.arange(100 * 80 * 3, dtype=float).reshape(100, 80, 3)
+    patch, tl, off = extract_patch(img, np.array([2, 2]), 32)
+    assert patch.shape == (32, 32, 3)
+    # center pixel value preserved
+    r = 2 - tl[0] + off[0]
+    c = 2 - tl[1] + off[1]
+    np.testing.assert_allclose(patch[r, c], img[2, 2])
+
+
+@pytest.fixture
+def synth_env(tmp_path, monkeypatch):
+    data_root = tmp_path / "datasets"
+    data_root.mkdir()
+    (tmp_path / "models").mkdir()
+    with open(tmp_path / "paths_config.json", "w") as f:
+        json.dump(
+            {"dataset_path": [str(data_root)], "model_path": [str(tmp_path / "models")]},
+            f,
+        )
+    monkeypatch.chdir(tmp_path)
+    make_synth_dataset(name="synthtest", n_items=3, shape=(96, 96), n_rect=30, seed=0)
+    return tmp_path
+
+
+def test_synth_dataset_format_and_pipeline(synth_env):
+    root = synth_env / "datasets" / "synthtest"
+    assert sorted(os.listdir(root)) == ["train", "val"]
+    with open(root / "train" / "annotations" / "0000.pkl", "rb") as f:
+        ann = pickle.load(f)
+    assert set(ann.keys()) == {"centers", "parameters", "categories", "difficult"}
+    assert ann["parameters"].shape[1] == 3
+    assert np.all(ann["parameters"][:, 0] <= ann["parameters"][:, 1])  # a <= b
+
+    # patch making + dataset + loader end to end
+    config = {
+        "data_loader": {
+            "patch_maker_params": {
+                "patch_size": 32,
+                "n_patches": 8,
+                "unf_sampler_weight": 0.5,
+                "obj_sampler_weight": 0.5,
+                "obj_sampler_sigma": 2,
+            }
+        }
+    }
+    rng = np.random.default_rng(0)
+    make_patch_dataset(
+        new_dataset="patches", source_dataset="synthtest", config=config, rng=rng,
+        make_val=True, multiprocess=False,
+    )
+    ds = ImageDataset(
+        dataset="patches", subset="train", rng=rng,
+        label_processor=PosLabelProcessor(max_distance=8, mode="uvec"),
+        augmenter=DataAugment(rng=rng, dataset="patches", subset="train",
+                              aug_level="medium"),
+    )
+    assert len(ds) == 8
+    loader = BatchLoader(ds, batch_size=4, rng=rng, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    x, y = batches[0]
+    assert x.shape == (4, 32, 32, 3)
+    assert y["pointing_map"].shape == (4, 32, 32, 2)
+    assert x.dtype == np.float32
+
+
+def test_make_synth_rectangles_disjoint():
+    rng = np.random.default_rng(5)
+    _, rects, polys = make_synth(rng, (64, 64), 40, noise=0.01)
+    from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
+        convex_quad_intersection_area,
+    )
+
+    for i in range(len(polys)):
+        for j in range(i + 1, len(polys)):
+            assert float(convex_quad_intersection_area(polys[i], polys[j])) == 0.0
