@@ -1,0 +1,111 @@
+"""Training losses for PosNet / ShapeNet, pure jnp.
+
+Rebuild of reference ``model_parts/losses/pos_loss.py:35-115`` (pointing-vector
+MSE + balanced/focal mask BCE + optional div-classifier BCE) and
+``pixel_ce_loss.py:9-58`` (masked per-pixel cross-entropy). All functions take
+NHWC tensors and return dicts of scalar losses, identical in structure to the
+reference so logged metrics are comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-5
+
+
+def binary_focal_loss_with_logits(logits, targets, alpha: float = 0.25,
+                                  gamma: float = 2.0):
+    p = jax.nn.sigmoid(logits)
+    ce = -(targets * jnp.log(p + EPS) + (1 - targets) * jnp.log(1 - p + EPS))
+    p_t = p * targets + (1 - p) * (1 - targets)
+    alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
+    return jnp.mean(alpha_t * (1 - p_t) ** gamma * ce)
+
+
+def _balanced_bce(logits, targets, balanced: bool):
+    sig = jax.nn.sigmoid(logits)
+    if not balanced:
+        return jnp.mean(
+            -(targets * jnp.log(sig + EPS) + (1 - targets) * jnp.log(1 - sig + EPS))
+        )
+    beta = 1 - jnp.sum(targets) / targets.size
+    loss = -beta * targets * jnp.log(sig + EPS) - (1 - beta) * (1 - targets) * jnp.log(
+        1 - sig + EPS
+    )
+    return jnp.mean(loss)
+
+
+def pointing_vector_loss(output: jnp.ndarray, target_vec: jnp.ndarray,
+                         target_mask: Optional[jnp.ndarray] = None,
+                         div_score: Optional[jnp.ndarray] = None,
+                         center_bin_map: Optional[jnp.ndarray] = None,
+                         learn_mask: bool = True, compute_mask: bool = True,
+                         balanced_mask_loss: bool = True, focal_loss: bool = False,
+                         vec_loss_on_prod: bool = True) -> Dict[str, jnp.ndarray]:
+    """PosNet loss. ``output`` is (B, H, W, 3): [vec_x, vec_y, mask_logit];
+    ``target_vec`` is (B, H, W, 2); masks are (B, H, W)."""
+    output_vec = output[..., :2]
+    output_mask = output[..., 2]
+
+    if vec_loss_on_prod:
+        sig = jax.nn.sigmoid(output_mask)[..., None]
+        pixel_loss = jnp.square(output_vec * sig - target_vec)
+        vec_loss = jnp.mean(pixel_loss)
+    else:
+        pixel_loss = jnp.square(output_vec - target_vec)
+        if compute_mask and target_mask is not None:
+            pixel_loss = jnp.mean(pixel_loss, axis=-1) * target_mask
+        vec_loss = jnp.mean(pixel_loss)
+
+    out = {"vec_loss": vec_loss, "loss": vec_loss}
+
+    if learn_mask and target_mask is not None:
+        if focal_loss:
+            mask_loss = binary_focal_loss_with_logits(output_mask, target_mask)
+        else:
+            mask_loss = _balanced_bce(output_mask, target_mask, balanced_mask_loss)
+        out["mask_loss"] = mask_loss
+        out["loss"] = out["loss"] + mask_loss
+
+    if div_score is not None:
+        assert center_bin_map is not None
+        if focal_loss:
+            div_loss = binary_focal_loss_with_logits(div_score, center_bin_map)
+        else:
+            div_loss = _balanced_bce(div_score, center_bin_map, balanced_mask_loss)
+        out["div_loss"] = div_loss
+        out["loss"] = out["loss"] + div_loss
+
+    return out
+
+
+def pixel_ce_loss(inputs: List[jnp.ndarray], targets: List[jnp.ndarray],
+                  loss_mask: jnp.ndarray, focal_loss: bool = False,
+                  focal_alpha: float = 0.5, focal_gamma: float = 2.0
+                  ) -> Dict[str, jnp.ndarray]:
+    """ShapeNet loss: per-pixel CE over each mark head, weighted by a
+    normalised loss mask and summed over pixels, averaged over batch.
+
+    ``inputs[i]`` is (B, H, W, C) logits; ``targets[i]`` is (B, H, W) int;
+    ``loss_mask`` is (B, H, W) summing to 1 per item.
+    """
+    out: Dict[str, jnp.ndarray] = {}
+    total = 0.0
+    for i, (logits, tgt) in enumerate(zip(inputs, targets)):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        pp = -jnp.take_along_axis(logp, tgt[..., None].astype(jnp.int32), axis=-1)[
+            ..., 0
+        ]
+        if focal_loss:
+            p_t = jnp.exp(-pp)
+            pp = focal_alpha * (1 - p_t) ** focal_gamma * pp
+        masked = pp * loss_mask
+        feat_loss = jnp.mean(jnp.sum(masked, axis=(1, 2)))
+        out[f"loss_feat{i}"] = feat_loss
+        total = total + feat_loss
+    out["loss"] = total
+    return out
