@@ -1,0 +1,116 @@
+"""CLI dispatcher for the TPU-native MPP+CNN detection framework.
+
+Same interface as the reference ``main.py:10-105``::
+
+    python main.py -m {posnet,shapenet,mpp,oracle,fasterrcnn} \
+                   -p {train,infer,eval,infereval,data_preview,translate_dota,
+                       translate_cowc,make_synth} \
+                   -c CONFIG [-d DATASET] [-o] [-r]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="TPU-native MPP+CNN detector")
+    parser.add_argument("-m", "--model", type=str, required=False,
+                        choices=["posnet", "shapenet", "mpp", "oracle", "fasterrcnn"])
+    parser.add_argument("-p", "--procedure", type=str, required=True,
+                        choices=["train", "infer", "eval", "infereval",
+                                 "data_preview", "translate_dota",
+                                 "translate_cowc", "make_synth"])
+    parser.add_argument("-c", "--config", type=str, required=False,
+                        help="config file path, config name, or saved model name")
+    parser.add_argument("-d", "--dataset", type=str, default=None,
+                        help="override the config's dataset")
+    parser.add_argument("-o", "--overwrite", action="store_true")
+    parser.add_argument("-r", "--resume", action="store_true",
+                        help="load the saved model and resume")
+    parser.add_argument("-s", "--subset", type=str, default="val")
+    return parser.parse_args(argv)
+
+
+def load_config(args) -> dict:
+    from mpp_cnn_rs_object_detection_tpu.utils.config import (
+        resolve_model_config_path,
+    )
+
+    with open(resolve_model_config_path(args.config)) as f:
+        return json.load(f)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    if args.procedure == "translate_dota":
+        from mpp_cnn_rs_object_detection_tpu.data.translate_dota import translate_dota
+
+        translate_dota(load_config(args))
+        return
+    if args.procedure == "translate_cowc":
+        from mpp_cnn_rs_object_detection_tpu.data.translate_cowc import translate_cowc
+
+        translate_cowc(load_config(args))
+        return
+    if args.procedure == "make_synth":
+        from mpp_cnn_rs_object_detection_tpu.data.synth import make_synth_dataset
+
+        kwargs = load_config(args) if args.config else {}
+        make_synth_dataset(**kwargs)
+        return
+
+    assert args.model is not None, "-m/--model required for this procedure"
+    config = load_config(args)
+    train = args.procedure == "train"
+    load = args.resume or not train
+
+    if args.model == "posnet":
+        from mpp_cnn_rs_object_detection_tpu.models.posnet_model import PosNetModel
+
+        model = PosNetModel(config, overwrite=args.overwrite, load=load,
+                            train=train or args.procedure == "data_preview",
+                            dataset=args.dataset)
+    elif args.model == "shapenet":
+        from mpp_cnn_rs_object_detection_tpu.models.shapenet_model import (
+            ShapeNetModel,
+        )
+
+        model = ShapeNetModel(config, overwrite=args.overwrite, load=load,
+                              train=train or args.procedure == "data_preview",
+                              dataset=args.dataset)
+    elif args.model == "mpp":
+        from mpp_cnn_rs_object_detection_tpu.mpp.mpp_model import MPPModel
+
+        model = MPPModel(config, phase="train" if train else "infer",
+                         overwrite=args.overwrite, load=load,
+                         dataset=args.dataset)
+    elif args.model == "oracle":
+        from mpp_cnn_rs_object_detection_tpu.models.oracle_model import OracleModel
+
+        model = OracleModel(config, overwrite=args.overwrite, dataset=args.dataset)
+    else:
+        raise NotImplementedError(args.model)
+
+    if args.procedure == "train":
+        model.train()
+    elif args.procedure == "infer":
+        model.infer(subset=args.subset, overwrite=args.overwrite)
+    elif args.procedure == "eval":
+        model.eval()
+    elif args.procedure == "infereval":
+        model.infer(subset=args.subset, overwrite=args.overwrite)
+        model.eval()
+    elif args.procedure == "data_preview":
+        model.data_preview()
+    else:
+        raise NotImplementedError(args.procedure)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

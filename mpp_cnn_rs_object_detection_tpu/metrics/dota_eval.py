@@ -108,9 +108,24 @@ def voc_eval(detpath: str, annopath: str, imagesetfile: str, classname: str,
 
     det_img = [l[0] for l in lines]
     det_score = np.array([float(l[1]) for l in lines])
-    det_poly = np.array(
-        [[float(v) for v in l[2:10]] for l in lines]
-    ).reshape(-1, 4, 2)
+    if len(lines[0]) >= 10:
+        # task1 (OBB): imgid score x1 y1 ... x4 y4
+        det_poly = np.array(
+            [[float(v) for v in l[2:10]] for l in lines]
+        ).reshape(-1, 4, 2)
+    else:
+        # task2 (HBB): imgid score xmin ymin xmax ymax
+        boxes = np.array([[float(v) for v in l[2:6]] for l in lines])
+        x1, y1, x2, y2 = boxes.T
+        det_poly = np.stack(
+            [
+                np.stack([x1, y1], -1),
+                np.stack([x2, y1], -1),
+                np.stack([x2, y2], -1),
+                np.stack([x1, y2], -1),
+            ],
+            axis=1,
+        )
 
     order = np.argsort(-det_score)
     det_img = [det_img[i] for i in order]

@@ -1,0 +1,151 @@
+"""End-to-end smoke tests of the CNN model layer on a tiny synthetic dataset:
+train -> checkpoint -> infer -> result-pickle contract -> DOTA eval.
+Covers SURVEY.md build-plan step 2/3 (posnet slice + shapenet handoff)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("ws")
+    (ws / "data").mkdir()
+    (ws / "models_storage").mkdir()
+    with open(ws / "paths_config.json", "w") as f:
+        json.dump(
+            {
+                "dataset_path": [str(ws / "data")],
+                "model_path": [str(ws / "models_storage")],
+            },
+            f,
+        )
+    old = os.getcwd()
+    os.chdir(ws)
+    from mpp_cnn_rs_object_detection_tpu.data.synth import make_synth_dataset
+
+    make_synth_dataset(name="synth_t", n_items=2, shape=(64, 64), n_rect=12, seed=3)
+    yield ws
+    os.chdir(old)
+
+
+def _pos_config(name="pos_tiny"):
+    return {
+        "model_name": name,
+        "data_loader": {
+            "dataset": "synth_t",
+            "dataset_update_interval": 8,
+            "patch_maker_params": {
+                "patch_size": 32,
+                "n_patches": 16,
+                "unf_sampler_weight": 0.5,
+                "obj_sampler_weight": 0.5,
+                "obj_sampler_sigma": 4,
+            },
+        },
+        "trainer": {"n_epochs": 1, "batch_size": 4},
+        "div_clf_model": True,
+        "model": {"hidden_dims": [8, 16]},
+        "loss": {
+            "learning_rate": 1e-3,
+            "target_mode": "uvec",
+            "max_distance": 8,
+            "learn_mask": True,
+            "compute_relevant": True,
+            "balanced_mask_loss": True,
+            "focal_loss": False,
+            "vec_loss_on_prod": True,
+            "bin_map_dil": 0.6,
+        },
+        "mappings": {"size_mapping_min": 0, "size_mapping_max": 16},
+    }
+
+
+def _shape_config(name="shape_tiny"):
+    return {
+        "model_name": name,
+        "data_loader": {
+            "dataset": "synth_t",
+            "dataset_update_interval": 8,
+            "patch_maker_params": {
+                "patch_size": 32,
+                "n_patches": 16,
+                "unf_sampler_weight": 0.5,
+                "obj_sampler_weight": 0.5,
+                "obj_sampler_sigma": 4,
+            },
+        },
+        "trainer": {"n_epochs": 1, "n_classes": 8, "batch_size": 4},
+        "model": {"hidden_dims": [8, 16]},
+        "loss": {"learning_rate": 1e-3, "mask_mode": "shapes"},
+        "mappings": {"size_mapping_min": 0, "size_mapping_max": 16},
+        "inference": {"pos_model": "pos_tiny"},
+    }
+
+
+def test_posnet_train_infer_eval(workspace):
+    from mpp_cnn_rs_object_detection_tpu.models.posnet_model import PosNetModel
+
+    model = PosNetModel(_pos_config(), overwrite=True, train=True)
+    model.train()
+    assert os.path.exists(os.path.join(model.save_path, "model.msgpack"))
+    assert os.path.exists(os.path.join(model.save_path, "log.json"))
+
+    model2 = PosNetModel(_pos_config(), load=True, train=False)
+    model2.infer(subset="val", overwrite=True)
+    from mpp_cnn_rs_object_detection_tpu.utils.config import get_inference_path
+
+    results_dir = get_inference_path("pos_tiny", "synth_t", "val")
+    with open(os.path.join(results_dir, "0000_results.pkl"), "rb") as f:
+        res = pickle.load(f)
+    assert res["detection_type"] == "center"
+    assert res["detection_map"].shape == (64, 64)
+    assert np.all(res["detection_map"] >= 0) and np.all(res["detection_map"] <= 1)
+    model2.eval()  # writes metrics jsons
+    assert os.path.exists(os.path.join(results_dir, "dota", "metrics0.50.json"))
+
+
+def test_shapenet_train_infer(workspace):
+    from mpp_cnn_rs_object_detection_tpu.models.shapenet_model import ShapeNetModel
+
+    model = ShapeNetModel(_shape_config(), overwrite=True, train=True)
+    model.train()
+    model2 = ShapeNetModel(_shape_config(), load=True, train=False)
+    model2.infer(subset="val", overwrite=True, min_confidence=0.2)
+
+    from mpp_cnn_rs_object_detection_tpu.utils.config import get_inference_path
+
+    results_dir = get_inference_path("shape_tiny", "synth_t", "val")
+    with open(os.path.join(results_dir, "0000_results.pkl"), "rb") as f:
+        res = pickle.load(f)
+    assert res["detection_type"] == "poly"
+    assert len(res["output"]) == 3
+    assert res["output"][0].shape == (1, 8, 64, 64)
+    # per-pixel distributions sum to one
+    np.testing.assert_allclose(res["output"][0][0].sum(axis=0), 1.0, atol=1e-4)
+    assert len(res["mappings"]) == 3
+
+
+def test_checkpoint_resume(workspace):
+    from mpp_cnn_rs_object_detection_tpu.models.posnet_model import PosNetModel
+
+    cfg = _pos_config("pos_resume")
+    cfg["trainer"]["n_epochs"] = 1
+    model = PosNetModel(cfg, overwrite=True, train=True)
+    model.train()
+    p0 = np.asarray(
+        next(iter(model.state.params["net"].values()))["kernel"]
+        if "kernel" in next(iter(model.state.params["net"].values()))
+        else 0
+    )
+    model2 = PosNetModel(cfg, load=True, train=False)
+    # restored params match saved params
+    import jax
+
+    leaves1 = jax.tree_util.tree_leaves(model.state.params)
+    leaves2 = jax.tree_util.tree_leaves(model2.state.params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
