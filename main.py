@@ -48,6 +48,15 @@ def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    # The axon TPU plugin ignores JAX_PLATFORMS; MPP_PLATFORM=cpu forces the
+    # backend via jax.config before any jax op runs.
+    import os
+
+    if os.environ.get("MPP_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["MPP_PLATFORM"])
+
     if args.procedure == "translate_dota":
         from mpp_cnn_rs_object_detection_tpu.data.translate_dota import translate_dota
 
