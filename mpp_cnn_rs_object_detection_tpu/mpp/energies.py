@@ -1,0 +1,228 @@
+"""Vectorised MPP energies: per-point energy vectors from dense masked math.
+
+Replaces the reference's incremental ``EnergyGraph`` (per-point lists of lazily
+cached energy objects, ``models/mpp/point_set/energy_graph.py:20-291``) with
+pure functions of a ``PointsState``: unary energies are map gathers, pair
+energies are (K, K) matrices masked by alive x alive and interaction radius,
+reduced per row (max / min as each term dictates,
+``energies/prior_energies.py:20-46``). A perturbation's ΔU is just
+``total - total`` of two states — exact, no bookkeeping, fully vmappable.
+
+Term formulas (reference ``energies/data_energies.py``, ``prior_energies.py``):
+  - PositionEnergy   = -2 * (detection_map[x, y] - threshold)
+  - Shape/MarkEnergy = gather of remapped per-pixel mark distributions
+  - OverlapEnergy    = max_j area(P_i ∩ P_j) / (min(area_i, area_j) + 1e-6)
+  - AlignmentEnergy  = min/max_j 1 - |cos(angle_i - angle_j)| - rewarding
+  - AreaPrior        = max(0, min_area - A, A - max_area)
+  - RatioPrior       = |target_ratio - ratio|
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpp_cnn_rs_object_detection_tpu.mpp.state import PointsState
+from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
+    convex_quad_intersection_area,
+    marks_to_poly,
+    rect_area,
+)
+
+Array = jnp.ndarray
+
+
+@dataclass(frozen=True)
+class EnergySpec:
+    """Static description of which energy columns exist (hashable, safe to
+    close over under jit). Mirrors the reference's EnergySetup choice of terms
+    (``energy_setup_legacy.py:40-46``, ``energy_setup_no_calibration.py``)."""
+
+    names: Tuple[str, ...]
+    shape_mode: str = "mean"  # 'mean' (legacy ShapeEnergy) | 'separate' (3 marks)
+    use_ratio_prior: bool = False
+    rewarding_align: bool = True
+    overlap_max_dist: float = 32.0
+    align_max_dist: float = 16.0
+
+    @property
+    def n_energies(self) -> int:
+        return len(self.names)
+
+    def index(self, name: str) -> int:
+        return self.names.index(name)
+
+
+LEGACY_SPEC = EnergySpec(
+    names=(
+        "PositionEnergy",
+        "ShapeEnergy",
+        "RectangleOverlapEnergy",
+        "ShapeAlignmentEnergy",
+        "AreaPriorEnergy",
+    ),
+    shape_mode="mean",
+)
+
+NO_CALIBRATION_SPEC = EnergySpec(
+    names=(
+        "PositionEnergy",
+        "SizeEnergy",
+        "RatioEnergy",
+        "AngleEnergy",
+        "RectangleOverlapEnergy",
+        "ShapeAlignmentEnergy",
+        "AreaPriorEnergy",
+        "RatioPriorEnergy",
+    ),
+    shape_mode="separate",
+    use_ratio_prior=True,
+)
+
+
+@flax.struct.dataclass
+class EnergyMaps:
+    """Device-resident per-tile energy inputs (the ImageWMaps compiled form)."""
+
+    position: Array    # (H, W)  = -2 * (detection_map - threshold)
+    mark_maps: Array   # (3, H, W, C) per-mark energy maps (already remapped)
+    map_vmin: Array    # (3,) mark mapping v_min
+    map_vmax: Array    # (3,)
+    map_cyclic: Array  # (3,) bool
+    min_area: Array    # scalar
+    max_area: Array    # scalar
+    target_ratio: Array  # scalar (RatioPrior; unused in legacy spec)
+
+
+def make_energy_maps(detection_map: np.ndarray, mark_energy_maps: List[np.ndarray],
+                     threshold: float, min_area: float, max_area: float,
+                     mappings, target_ratio: float = 0.0) -> EnergyMaps:
+    """Host-side constructor from CNN inference artifacts.
+
+    ``mark_energy_maps`` are the already-remapped (H, W, C) per-mark maps:
+    legacy calibration ``-2*sigmoid(coef*p + icpt) + 1``
+    (``energy_setup_legacy.py:144-150``) or plain ``-p`` (no-calibration).
+    """
+    return EnergyMaps(
+        position=jnp.asarray(-2.0 * (detection_map - threshold), jnp.float32),
+        mark_maps=jnp.stack([jnp.asarray(m, jnp.float32) for m in mark_energy_maps]),
+        map_vmin=jnp.array([m.v_min for m in mappings], jnp.float32),
+        map_vmax=jnp.array([m.v_max for m in mappings], jnp.float32),
+        map_cyclic=jnp.array([m.is_cyclic for m in mappings], bool),
+        min_area=jnp.asarray(min_area, jnp.float32),
+        max_area=jnp.asarray(max_area, jnp.float32),
+        target_ratio=jnp.asarray(target_ratio, jnp.float32),
+    )
+
+
+def marks_to_class(marks: Array, maps: EnergyMaps) -> Array:
+    """(..., 3) mark values -> (..., 3) int32 bin ids (``mappings.py:113-129``)."""
+    n_cls = maps.mark_maps.shape[-1]
+    rng = maps.map_vmax - maps.map_vmin
+    val = jnp.where(
+        maps.map_cyclic,
+        ((marks - maps.map_vmin) % rng) + maps.map_vmin,
+        marks,
+    )
+    step = rng / n_cls
+    cls = jnp.floor((val - maps.map_vmin) / step).astype(jnp.int32)
+    return jnp.clip(cls, 0, n_cls - 1)
+
+
+def _gather_mark_energies(state: PointsState, maps: EnergyMaps) -> Array:
+    """(K, 3): each point's per-mark energy map value at its pixel+class."""
+    h, w = maps.position.shape
+    xi = jnp.clip(state.xy[:, 0].astype(jnp.int32), 0, h - 1)
+    yi = jnp.clip(state.xy[:, 1].astype(jnp.int32), 0, w - 1)
+    cls = marks_to_class(state.marks, maps)  # (K, 3)
+    per_mark = [maps.mark_maps[m, xi, yi, cls[:, m]] for m in range(3)]
+    return jnp.stack(per_mark, axis=-1)
+
+
+def pair_terms(state: PointsState, spec: EnergySpec) -> Tuple[Array, Array]:
+    """Reduced pair energies: (overlap (K,), alignment (K,)).
+
+    Dense (K, K) computation; masked entries contribute the reduce-identity,
+    and a point with no interacting neighbor gets 0 for that term (the
+    reference initialises each point's vector to 0 and only fills computed
+    interactions, ``energy_graph.py:160-175``).
+    """
+    k = state.capacity
+    diff = state.xy[:, None, :] - state.xy[None, :, :]
+    dist = jnp.linalg.norm(diff, axis=-1)
+    eye = jnp.eye(k, dtype=bool)
+    alive_pair = state.alive[:, None] & state.alive[None, :] & ~eye
+
+    # --- overlap: convex quad intersection / min area
+    polys = marks_to_poly(
+        state.xy, state.marks[:, 0], state.marks[:, 1], state.marks[:, 2]
+    )  # (K, 4, 2)
+    inter = jax.vmap(
+        lambda pa: jax.vmap(lambda pb: convex_quad_intersection_area(pa, pb))(polys)
+    )(polys)  # (K, K)
+    areas = rect_area(state.marks[:, 0], state.marks[:, 1])  # (K,)
+    min_area = jnp.minimum(areas[:, None], areas[None, :])
+    overlap = inter / (min_area + 1e-6)
+    ov_mask = alive_pair & (dist <= spec.overlap_max_dist)
+    has_ov = jnp.any(ov_mask, axis=1)
+    overlap_red = jnp.where(
+        has_ov, jnp.max(jnp.where(ov_mask, overlap, -jnp.inf), axis=1), 0.0
+    )
+
+    # --- alignment: 1 - |cos dangle| - rewarding, reduce min (rewarding) / max
+    dangle = state.marks[:, None, 2] - state.marks[None, :, 2]
+    align = 1.0 - jnp.abs(jnp.cos(dangle)) - float(spec.rewarding_align)
+    al_mask = alive_pair & (dist <= spec.align_max_dist)
+    has_al = jnp.any(al_mask, axis=1)
+    if spec.rewarding_align:
+        align_red = jnp.min(jnp.where(al_mask, align, jnp.inf), axis=1)
+    else:
+        align_red = jnp.max(jnp.where(al_mask, align, -jnp.inf), axis=1)
+    align_red = jnp.where(has_al, align_red, 0.0)
+
+    return overlap_red, align_red
+
+
+def energy_vectors(state: PointsState, maps: EnergyMaps, spec: EnergySpec) -> Array:
+    """(K, n_energies) per-point energy vector (0 rows at dead slots)."""
+    h, w = maps.position.shape
+    xi = jnp.clip(state.xy[:, 0].astype(jnp.int32), 0, h - 1)
+    yi = jnp.clip(state.xy[:, 1].astype(jnp.int32), 0, w - 1)
+
+    pos = maps.position[xi, yi]
+    mark_e = _gather_mark_energies(state, maps)  # (K, 3)
+    overlap_red, align_red = pair_terms(state, spec)
+    area = rect_area(state.marks[:, 0], state.marks[:, 1])
+    area_prior = jnp.maximum(
+        0.0, jnp.maximum(maps.min_area - area, area - maps.max_area)
+    )
+
+    cols = [pos]
+    if spec.shape_mode == "mean":
+        cols.append(jnp.mean(mark_e, axis=-1))
+    else:
+        cols.extend([mark_e[:, 0], mark_e[:, 1], mark_e[:, 2]])
+    cols.extend([overlap_red, align_red, area_prior])
+    if spec.use_ratio_prior:
+        cols.append(jnp.abs(maps.target_ratio - state.marks[:, 1]))
+
+    vec = jnp.stack(cols, axis=-1)
+    assert vec.shape[-1] == spec.n_energies, (vec.shape, spec.names)
+    return jnp.where(state.alive[:, None], vec, 0.0)
+
+
+def total_energy(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
+                 combine: Callable[[Array], Array]) -> Array:
+    """U(config) = sum over alive points of ``combine(energy_vector)``.
+
+    ``combine`` maps (K, n_energies) -> (K,) per-point scalars (see
+    ``combinators.py``); dead slots are zeroed before summing.
+    """
+    vec = energy_vectors(state, maps, spec)
+    per_point = combine(vec)
+    return jnp.sum(jnp.where(state.alive, per_point, 0.0))

@@ -1,0 +1,445 @@
+"""RJMCMC proposal kernels as pure jittable functions.
+
+Re-derivation of the reference's 8-kernel mixture
+(``models/mpp/rjmcmc_sampler/kernels/``): every kernel produces a standardized
+``Proposal`` (birth / death / move of one slot + forward/backward log
+densities for the Green ratio), selected per step with ``lax.switch`` — so a
+step costs ONE energy evaluation regardless of kernel, and the whole sampler
+vmaps over thousands of chains.
+
+Kernel mixture and densities (reference formulas):
+  - Birth:  q_fwd = p_birth * q(u) / intensity ; q_back = p_death / (n+1)
+            (``base_kernels.py:55-66``)
+  - Death:  q_fwd = p_death / n ; q_back = p_birth * q(u_rm) / intensity
+            (``base_kernels.py:100-115``)
+  - Gaussian translation (sigma=2): N(delta) / n, symmetric
+            (``transform_kernels.py:17-58``)
+  - Data translation: local (2*max_delta+1)^2 window of the normalised
+    detection map, renormalised (``transform_kernels.py:61-116``)
+  - Gaussian mark transform (sigma=0.1*range, cyclic wrap for angle),
+    symmetric (``transform_kernels.py:119-160``)
+  - Data mark transform: per-pixel shapenet distribution row
+            (``transform_kernels.py:163-225``)
+  - Data-driven birth density q(u) = det_norm[x,y] * prod_m dist_m[x,y,cls_m]
+    * (H*W*C^3); uniform birth density q(u) = 1
+            (``shape_samplers.py:78-150``)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpp_cnn_rs_object_detection_tpu.mpp.state import PointsState
+
+Array = jnp.ndarray
+EPS = 1e-16
+MAX_DELTA = 8  # data-translation window half-size (reference make_kernels.py:124)
+WINDOW = 2 * MAX_DELTA + 1
+
+# proposal kinds
+NOOP, BIRTH, DEATH, MOVE = 0, 1, 2, 3
+
+# kernel indices in the mixture
+K_UNIF_BIRTH, K_UNIF_DEATH, K_DATA_BIRTH, K_DATA_DEATH = 0, 1, 2, 3
+K_GAUSS_TRL, K_DATA_TRL, K_GAUSS_TRF, K_DATA_TRF = 4, 5, 6, 7
+
+BASE_KERNEL_WEIGHTS = {
+    "bd_weight": 1.0,
+    "uniform_bd_weight": 1.0,
+    "data_bd_weight": 2.0,
+    "translation_weight": 1.0,
+    "gaussian_translation_weight": 1.0,
+    "data_translation_weight": 2.0,
+    "transformation_weight": 1.0,
+    "gaussian_transformation_weight": 1.0,
+    "data_transformation_weight": 2.0,
+}
+
+
+@flax.struct.dataclass
+class Proposal:
+    kind: Array      # int32 scalar: NOOP/BIRTH/DEATH/MOVE
+    slot: Array      # int32 scalar
+    xy: Array        # (2,) f32
+    marks: Array     # (3,) f32
+    log_fwd: Array   # f32
+    log_back: Array  # f32
+
+
+@flax.struct.dataclass
+class KernelData:
+    """Device-resident sampling inputs for one tile."""
+
+    birth_cdf: Array        # (H*W,) inclusive cumsum of normalised det map
+    log_birth_density: Array  # (H, W) log of normalised det map
+    mark_dists: Array       # (3, H, W, C) normalised mark distributions
+    padded_density: Array   # (H + 2*MAX_DELTA, W + 2*MAX_DELTA) zero-padded
+    map_vmin: Array         # (3,)
+    map_vmax: Array         # (3,)
+    map_cyclic: Array       # (3,) bool
+    p_kernels: Array        # (8,) kernel mixture probabilities
+    log_norm_const: Array   # log(H * W * C^3)
+    intensity: Array        # scalar point-process intensity
+    sigma_trl: Array        # scalar (2.0)
+    sigma_trf: Array        # (3,) = 0.1 * mark range
+
+
+def kernel_probabilities(weights=None) -> np.ndarray:
+    """The 8-way mixture from the decision tree (``make_kernels.py:50-177``,
+    split/merge excluded)."""
+    w = dict(BASE_KERNEL_WEIGHTS, **(weights or {}))
+    top = np.array([w["bd_weight"], w["translation_weight"], w["transformation_weight"]])
+    p_bd, p_trl, p_trf = top / top.sum()
+    bd = np.array([w["uniform_bd_weight"], w["data_bd_weight"]])
+    p_bd_unif, p_bd_data = bd / bd.sum()
+    trl = np.array([w["gaussian_translation_weight"], w["data_translation_weight"]])
+    p_trl_g, p_trl_d = trl / trl.sum()
+    trf = np.array([w["gaussian_transformation_weight"], w["data_transformation_weight"]])
+    p_trf_g, p_trf_d = trf / trf.sum()
+    p = np.array(
+        [
+            0.5 * p_bd * p_bd_unif,
+            0.5 * p_bd * p_bd_unif,
+            0.5 * p_bd * p_bd_data,
+            0.5 * p_bd * p_bd_data,
+            p_trl * p_trl_g,
+            p_trl * p_trl_d,
+            p_trf * p_trf_g,
+            p_trf * p_trf_d,
+        ]
+    )
+    assert abs(p.sum() - 1.0) < 1e-8
+    return p
+
+
+def make_kernel_data(detection_map: np.ndarray, mark_dist_maps, mappings,
+                     intensity: float, kernel_weights=None) -> KernelData:
+    """Host-side constructor (mirrors ``make_kernels``)."""
+    det = np.asarray(detection_map, np.float64)
+    det = np.maximum(det, 0.0)
+    norm = det / max(det.sum(), 1e-30)
+    dists = np.stack([np.asarray(m, np.float32) for m in mark_dist_maps])  # (3,H,W,C)
+    dists = dists / np.maximum(dists.sum(axis=-1, keepdims=True), 1e-30)
+    h, w = det.shape
+    c = dists.shape[-1]
+    return KernelData(
+        birth_cdf=jnp.asarray(np.cumsum(norm.ravel()), jnp.float32),
+        log_birth_density=jnp.asarray(np.log(norm + EPS), jnp.float32),
+        mark_dists=jnp.asarray(dists),
+        padded_density=jnp.asarray(
+            np.pad(norm, MAX_DELTA, mode="constant"), jnp.float32
+        ),
+        map_vmin=jnp.array([m.v_min for m in mappings], jnp.float32),
+        map_vmax=jnp.array([m.v_max for m in mappings], jnp.float32),
+        map_cyclic=jnp.array([m.is_cyclic for m in mappings], bool),
+        p_kernels=jnp.asarray(kernel_probabilities(kernel_weights), jnp.float32),
+        log_norm_const=jnp.asarray(np.log(float(h * w * c ** 3)), jnp.float32),
+        intensity=jnp.asarray(float(intensity), jnp.float32),
+        sigma_trl=jnp.asarray(2.0, jnp.float32),
+        sigma_trf=jnp.asarray(
+            [0.1 * (m.v_max - m.v_min) for m in mappings], jnp.float32
+        ),
+    )
+
+
+# ------------------------------------------------------------------- helpers
+
+
+def _log(x):
+    return jnp.log(x + EPS)
+
+
+def _random_alive_slot(key, alive: Array) -> Array:
+    """Uniform choice among alive slots (-1 if none)."""
+    logits = jnp.where(alive, 0.0, -jnp.inf)
+    idx = jax.random.categorical(key, logits)
+    return jnp.where(jnp.any(alive), idx, -1)
+
+
+def _class_to_value(kd: KernelData, mark_idx, cls) -> Array:
+    n_cls = kd.mark_dists.shape[-1]
+    step = (kd.map_vmax[mark_idx] - kd.map_vmin[mark_idx]) / n_cls
+    return kd.map_vmin[mark_idx] + cls.astype(jnp.float32) * step
+
+
+def _value_to_class(kd: KernelData, mark_idx, value) -> Array:
+    n_cls = kd.mark_dists.shape[-1]
+    rng = kd.map_vmax[mark_idx] - kd.map_vmin[mark_idx]
+    val = jnp.where(
+        kd.map_cyclic[mark_idx],
+        ((value - kd.map_vmin[mark_idx]) % rng) + kd.map_vmin[mark_idx],
+        value,
+    )
+    cls = jnp.floor((val - kd.map_vmin[mark_idx]) / (rng / n_cls)).astype(jnp.int32)
+    return jnp.clip(cls, 0, n_cls - 1)
+
+
+def _pixel_of(state: PointsState, kd: KernelData, slot) -> Tuple[Array, Array]:
+    h, w = kd.log_birth_density.shape
+    xi = jnp.clip(state.xy[slot, 0].astype(jnp.int32), 0, h - 1)
+    yi = jnp.clip(state.xy[slot, 1].astype(jnp.int32), 0, w - 1)
+    return xi, yi
+
+
+def _normal_logpdf(x, sigma):
+    return -0.5 * (x / sigma) ** 2 - jnp.log(sigma * jnp.sqrt(2.0 * jnp.pi))
+
+
+def _noop(log_p: Array) -> Proposal:
+    return Proposal(
+        kind=jnp.int32(NOOP),
+        slot=jnp.int32(0),
+        xy=jnp.zeros((2,), jnp.float32),
+        marks=jnp.ones((3,), jnp.float32),
+        log_fwd=log_p,
+        log_back=log_p,
+    )
+
+
+def _select_prop(cond, a: Proposal, b: Proposal) -> Proposal:
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(cond, x, y), a, b)
+
+
+# ------------------------------------------------------------------- kernels
+
+
+def _birth_common(key, state: PointsState, kd: KernelData, p_half: Array,
+                  data_driven: bool) -> Proposal:
+    h, w = kd.log_birth_density.shape
+    k_pos, k_marks = jax.random.split(key)
+    if data_driven:
+        u = jax.random.uniform(k_pos)
+        idx = jnp.searchsorted(kd.birth_cdf, u, side="left")
+        idx = jnp.clip(idx, 0, h * w - 1)
+        xi, yi = idx // w, idx % w
+        keys = jax.random.split(k_marks, 3)
+        rows = kd.mark_dists[:, xi, yi, :]  # (3, C)
+        cls = jnp.stack(
+            [jax.random.categorical(keys[m], _log(rows[m])) for m in range(3)]
+        )
+        marks = jnp.stack(
+            [_class_to_value(kd, m, cls[m]) for m in range(3)]
+        )
+        log_q = (
+            kd.log_birth_density[xi, yi]
+            + sum(_log(rows[m][cls[m]]) for m in range(3))
+            + kd.log_norm_const
+        )
+    else:
+        k_px, k_py = jax.random.split(k_pos)
+        xi = jax.random.randint(k_px, (), 0, h)
+        yi = jax.random.randint(k_py, (), 0, w)
+        keys = jax.random.split(k_marks, 3)
+        marks = jnp.stack(
+            [
+                jax.random.uniform(
+                    keys[m], minval=kd.map_vmin[m], maxval=kd.map_vmax[m]
+                )
+                for m in range(3)
+            ]
+        )
+        log_q = _log(jnp.asarray(1.0))
+    n = state.n_points
+    slot = jnp.argmin(state.alive)
+    full = jnp.all(state.alive)
+    prop = Proposal(
+        kind=jnp.int32(BIRTH),
+        slot=slot.astype(jnp.int32),
+        xy=jnp.array([xi, yi], jnp.float32),
+        marks=marks,
+        log_fwd=_log(p_half) + log_q - _log(kd.intensity),
+        log_back=_log(p_half) - _log((n + 1).astype(jnp.float32)),
+    )
+    # capacity overflow: reject the move by construction (no-op)
+    return _select_prop(full, _noop(_log(p_half)), prop)
+
+
+def _death_common(key, state: PointsState, kd: KernelData, p_half: Array,
+                  data_driven: bool) -> Proposal:
+    n = state.n_points
+    slot = _random_alive_slot(key, state.alive)
+    safe_slot = jnp.maximum(slot, 0)
+    if data_driven:
+        xi, yi = _pixel_of(state, kd, safe_slot)
+        cls = jnp.stack(
+            [_value_to_class(kd, m, state.marks[safe_slot, m]) for m in range(3)]
+        )
+        rows = kd.mark_dists[:, xi, yi, :]
+        log_q = (
+            kd.log_birth_density[xi, yi]
+            + sum(_log(rows[m][cls[m]]) for m in range(3))
+            + kd.log_norm_const
+        )
+    else:
+        log_q = _log(jnp.asarray(1.0))
+    prop = Proposal(
+        kind=jnp.int32(DEATH),
+        slot=safe_slot.astype(jnp.int32),
+        xy=state.xy[safe_slot],
+        marks=state.marks[safe_slot],
+        log_fwd=_log(p_half) - _log(n.astype(jnp.float32)),
+        log_back=_log(p_half) + log_q - _log(kd.intensity),
+    )
+    return _select_prop(slot < 0, _noop(_log(p_half)), prop)
+
+
+def _gaussian_translation(key, state: PointsState, kd: KernelData,
+                          p_kernel: Array) -> Proposal:
+    h, w = kd.log_birth_density.shape
+    n = state.n_points
+    k_slot, k_delta = jax.random.split(key)
+    slot = _random_alive_slot(k_slot, state.alive)
+    safe_slot = jnp.maximum(slot, 0)
+    delta = kd.sigma_trl * jax.random.normal(k_delta, (2,))
+    new_xy = jnp.clip(
+        jnp.trunc(state.xy[safe_slot] + delta),
+        jnp.zeros((2,)),
+        jnp.array([h - 1, w - 1], jnp.float32),
+    )
+    log_density = jnp.sum(_normal_logpdf(delta, kd.sigma_trl))
+    log_p = _log(p_kernel) + log_density - _log(n.astype(jnp.float32))
+    prop = Proposal(
+        kind=jnp.int32(MOVE),
+        slot=safe_slot.astype(jnp.int32),
+        xy=new_xy,
+        marks=state.marks[safe_slot],
+        log_fwd=log_p,
+        log_back=log_p,  # symmetric
+    )
+    return _select_prop(slot < 0, _noop(_log(p_kernel)), prop)
+
+
+def _window_logprobs(kd: KernelData, xi, yi) -> Array:
+    """(WINDOW, WINDOW) renormalised local density window centred at (xi, yi).
+
+    ``padded_density`` is zero-padded by MAX_DELTA so the slice at (xi, yi)
+    is exactly the reference's clipped window (zeros never sampled)."""
+    win = jax.lax.dynamic_slice(
+        kd.padded_density, (xi, yi), (WINDOW, WINDOW)
+    )
+    return _log(win / (jnp.sum(win) + EPS))
+
+
+def _data_translation(key, state: PointsState, kd: KernelData,
+                      p_kernel: Array) -> Proposal:
+    n = state.n_points
+    k_slot, k_cell = jax.random.split(key)
+    slot = _random_alive_slot(k_slot, state.alive)
+    safe_slot = jnp.maximum(slot, 0)
+    xi, yi = _pixel_of(state, kd, safe_slot)
+    logw = _window_logprobs(kd, xi, yi)
+    cell = jax.random.categorical(k_cell, logw.ravel())
+    di, dj = cell // WINDOW, cell % WINDOW
+    new_x = xi + di - MAX_DELTA
+    new_y = yi + dj - MAX_DELTA
+    log_fwd = _log(p_kernel) + logw[di, dj] - _log(n.astype(jnp.float32))
+    # backward: window centred at the new position, density of the old one
+    logw_b = _window_logprobs(kd, new_x, new_y)
+    bi = xi - new_x + MAX_DELTA
+    bj = yi - new_y + MAX_DELTA
+    log_back = _log(p_kernel) + logw_b[bi, bj] - _log(n.astype(jnp.float32))
+    prop = Proposal(
+        kind=jnp.int32(MOVE),
+        slot=safe_slot.astype(jnp.int32),
+        xy=jnp.array([new_x, new_y], jnp.float32),
+        marks=state.marks[safe_slot],
+        log_fwd=log_fwd,
+        log_back=log_back,
+    )
+    return _select_prop(slot < 0, _noop(_log(p_kernel)), prop)
+
+
+def _gaussian_transform(key, state: PointsState, kd: KernelData,
+                        p_kernel: Array) -> Proposal:
+    n = state.n_points
+    k_slot, k_param, k_delta = jax.random.split(key, 3)
+    slot = _random_alive_slot(k_slot, state.alive)
+    safe_slot = jnp.maximum(slot, 0)
+    pid = jax.random.randint(k_param, (), 0, 3)
+    sigma = kd.sigma_trf[pid]
+    delta = sigma * jax.random.normal(k_delta)
+    old = state.marks[safe_slot, pid]
+    rng = kd.map_vmax[pid] - kd.map_vmin[pid]
+    new_val = jnp.where(
+        kd.map_cyclic[pid],
+        ((old + delta) % rng) + kd.map_vmin[pid],
+        jnp.clip(old + delta, kd.map_vmin[pid], kd.map_vmax[pid]),
+    )
+    new_marks = state.marks[safe_slot].at[pid].set(new_val)
+    log_p = (
+        _log(p_kernel) + _normal_logpdf(delta, sigma) - _log(n.astype(jnp.float32))
+    )
+    prop = Proposal(
+        kind=jnp.int32(MOVE),
+        slot=safe_slot.astype(jnp.int32),
+        xy=state.xy[safe_slot],
+        marks=new_marks,
+        log_fwd=log_p,
+        log_back=log_p,  # symmetric
+    )
+    return _select_prop(slot < 0, _noop(_log(p_kernel)), prop)
+
+
+def _data_transform(key, state: PointsState, kd: KernelData,
+                    p_kernel: Array) -> Proposal:
+    n = state.n_points
+    k_slot, k_param, k_cls = jax.random.split(key, 3)
+    slot = _random_alive_slot(k_slot, state.alive)
+    safe_slot = jnp.maximum(slot, 0)
+    pid = jax.random.randint(k_param, (), 0, 3)
+    xi, yi = _pixel_of(state, kd, safe_slot)
+    row = kd.mark_dists[pid, xi, yi, :]
+    new_cls = jax.random.categorical(k_cls, _log(row))
+    new_val = _class_to_value(kd, pid, new_cls)
+    old_cls = _value_to_class(kd, pid, state.marks[safe_slot, pid])
+    new_marks = state.marks[safe_slot].at[pid].set(new_val)
+    nf = n.astype(jnp.float32)
+    prop = Proposal(
+        kind=jnp.int32(MOVE),
+        slot=safe_slot.astype(jnp.int32),
+        xy=state.xy[safe_slot],
+        marks=new_marks,
+        log_fwd=_log(p_kernel) + _log(row[new_cls]) - _log(nf),
+        log_back=_log(p_kernel) + _log(row[old_cls]) - _log(nf),
+    )
+    return _select_prop(slot < 0, _noop(_log(p_kernel)), prop)
+
+
+def sample_proposal(key, kernel_idx: Array, state: PointsState,
+                    kd: KernelData) -> Proposal:
+    """Dispatch to the chosen kernel (one branch traced per step via switch)."""
+    p = kd.p_kernels
+    branches = [
+        lambda k: _birth_common(k, state, kd, p[K_UNIF_BIRTH], data_driven=False),
+        lambda k: _death_common(k, state, kd, p[K_UNIF_DEATH], data_driven=False),
+        lambda k: _birth_common(k, state, kd, p[K_DATA_BIRTH], data_driven=True),
+        lambda k: _death_common(k, state, kd, p[K_DATA_DEATH], data_driven=True),
+        lambda k: _gaussian_translation(k, state, kd, p[K_GAUSS_TRL]),
+        lambda k: _data_translation(k, state, kd, p[K_DATA_TRL]),
+        lambda k: _gaussian_transform(k, state, kd, p[K_GAUSS_TRF]),
+        lambda k: _data_transform(k, state, kd, p[K_DATA_TRF]),
+    ]
+    return jax.lax.switch(kernel_idx, branches, key)
+
+
+def apply_proposal(state: PointsState, prop: Proposal) -> PointsState:
+    """Apply a proposal (no-op safe: kind == NOOP leaves the state intact)."""
+    slot = jnp.clip(prop.slot, 0, state.capacity - 1)
+    write = (prop.kind == BIRTH) | (prop.kind == MOVE)
+    new_xy = jnp.where(
+        write, state.xy.at[slot].set(prop.xy), state.xy
+    )
+    new_marks = jnp.where(
+        write, state.marks.at[slot].set(prop.marks), state.marks
+    )
+    new_alive = jnp.where(
+        prop.kind == BIRTH,
+        state.alive.at[slot].set(True),
+        jnp.where(prop.kind == DEATH, state.alive.at[slot].set(False), state.alive),
+    )
+    return state.replace(xy=new_xy, marks=new_marks, alive=new_alive)
