@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Headline benchmark: RJMCMC moves/sec/chip (the MPP inference hot loop).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Setup mirrors the reference's inference unit of work (``mpp_hrcM.json``
+rjmcmc_params: 256x256 tile, ~30k annealed moves per tile,
+``models/mpp/mpp_model.py:250-262``): a batch of independent chains (= tiles
+of a scene) runs vmapped in one device launch.
+
+``vs_baseline`` compares against a sequential Python/numpy chain measured on
+this host's CPU — a faithful stand-in for the reference implementation, whose
+per-step cost is a Python-loop local ΔU with per-pair polygon intersections
+(the reference itself cannot run in this image: no shapely/torch-gpu). The
+baseline per-move cost is measured live each run.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_tile(h=256, w=256, n_obj=80, n_classes=32, seed=0):
+    rng = np.random.default_rng(seed)
+    gy, gx = np.mgrid[:h, :w]
+    det = np.zeros((h, w))
+    centers = rng.integers(8, [h - 8, w - 8], size=(n_obj, 2))
+    for c in centers:
+        det += np.exp(-((gy - c[0]) ** 2 + (gx - c[1]) ** 2) / (2 * 2.0**2))
+    det = np.clip(det, 0, 1)
+    dist = np.full((h, w, n_classes), 1.0, np.float32)
+    dist[..., n_classes // 4] = 4.0
+    dist /= dist.sum(-1, keepdims=True)
+    return det.astype(np.float32), [dist] * 3
+
+
+# --------------------------------------------------------------------- JAX
+
+
+def bench_jax(det, dists, n_steps=3000, batch=16, capacity=256):
+    import jax
+
+    from mpp_cnn_rs_object_detection_tpu.mpp import combinators as comb_lib
+    from mpp_cnn_rs_object_detection_tpu.mpp.energies import (
+        LEGACY_SPEC,
+        make_energy_maps,
+    )
+    from mpp_cnn_rs_object_detection_tpu.mpp.kernels import make_kernel_data
+    from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import run_chains_batch
+    from mpp_cnn_rs_object_detection_tpu.mpp.state import empty_state
+    from mpp_cnn_rs_object_detection_tpu.ops.mappings import default_mappings
+
+    mappings = default_mappings(dists[0].shape[-1], 0, 32)
+    maps = make_energy_maps(det, [-d for d in dists], 0.5, 4.0, 200.0, mappings)
+    kd = make_kernel_data(det, dists, mappings, intensity=80.0)
+    comb = comb_lib.manual_hierarchical(
+        LEGACY_SPEC.names,
+        {
+            "PositionEnergy": 0.4,
+            "ShapeEnergy": 0.1,
+            "RectangleOverlapEnergy": 0.3,
+            "ShapeAlignmentEnergy": 0.025,
+            "AreaPriorEnergy": 0.1,
+        },
+    )
+    init = jax.tree_util.tree_map(
+        lambda x: jax.numpy.stack([x] * batch), empty_state(capacity)
+    )
+
+    def run(key, steps):
+        finals, stats = run_chains_batch(
+            key, init, maps, LEGACY_SPEC, comb, kd, n_steps=steps,
+            alpha_t=0.999,
+        )
+        jax.block_until_ready(stats.final_energy)
+        return stats
+
+    # warmup / compile
+    run(jax.random.PRNGKey(0), n_steps)
+    t0 = time.perf_counter()
+    stats = run(jax.random.PRNGKey(1), n_steps)
+    dt = time.perf_counter() - t0
+    n_found = float(np.mean(np.asarray(stats.final_n_points)))
+    return batch * n_steps / dt, dt, n_found
+
+
+# ----------------------------------------------------- sequential baseline
+
+
+def bench_python_baseline(det, dists, n_steps=1200, seed=0):
+    """Sequential reference-style chain: Python loop, object list, local ΔU
+    with per-pair numpy polygon intersection (the reference's hot path,
+    ``rjmcmc.py:83-164`` + ``energy_graph.py:139-225``)."""
+    from mpp_cnn_rs_object_detection_tpu.metrics.polyiou import (
+        _np_intersection_area,
+    )
+
+    rng = np.random.default_rng(seed)
+    h, w = det.shape
+    norm_det = det / det.sum()
+    flat = norm_det.ravel()
+    points = []  # list of dicts: x, y, size, ratio, angle
+
+    def poly_of(p):
+        length = 2 * p["size"] / (1 + p["ratio"])
+        width = p["ratio"] * length
+        a = p["angle"] + np.pi / 2
+        c, s = np.cos(a), np.sin(a)
+        hx, hy = length / 2, width / 2
+        corners = np.array(
+            [[hx, hy], [hx, -hy], [-hx, -hy], [-hx, hy]]
+        )
+        rot = corners @ np.array([[c, s], [-s, c]])
+        return rot + np.array([p["x"], p["y"]])
+
+    def local_energy(p, others):
+        e = -2.0 * (det[int(p["x"]), int(p["y"])] - 0.5)
+        pa = poly_of(p)
+        area_p = p["size"] ** 2 * 4 * p["ratio"] / (1 + p["ratio"]) ** 2
+        best_ov = 0.0
+        for q in others:
+            if q is p:
+                continue
+            d = np.hypot(p["x"] - q["x"], p["y"] - q["y"])
+            if d <= 32:
+                inter = _np_intersection_area(pa, poly_of(q))
+                area_q = q["size"] ** 2 * 4 * q["ratio"] / (1 + q["ratio"]) ** 2
+                best_ov = max(best_ov, inter / (min(area_p, area_q) + 1e-6))
+        return e + best_ov
+
+    t0 = time.perf_counter()
+    for it in range(n_steps):
+        kind = rng.random()
+        if kind < 0.4 or not points:  # birth
+            idx = rng.choice(len(flat), p=flat)
+            p = {
+                "x": idx // w, "y": idx % w,
+                "size": rng.uniform(2, 16), "ratio": rng.uniform(0.2, 1),
+                "angle": rng.uniform(0, np.pi),
+            }
+            delta = local_energy(p, points)
+            if np.log(rng.random() + 1e-16) < -delta:
+                points.append(p)
+        elif kind < 0.7:  # death
+            i = rng.integers(len(points))
+            p = points[i]
+            delta = -local_energy(p, points)
+            if np.log(rng.random() + 1e-16) < -delta:
+                points.pop(i)
+        else:  # move
+            i = rng.integers(len(points))
+            p = dict(points[i])
+            p["x"] = int(np.clip(p["x"] + rng.normal(0, 2), 0, h - 1))
+            p["y"] = int(np.clip(p["y"] + rng.normal(0, 2), 0, w - 1))
+            delta = local_energy(p, points) - local_energy(points[i], points)
+            if np.log(rng.random() + 1e-16) < -delta:
+                points[i] = p
+    dt = time.perf_counter() - t0
+    return n_steps / dt, len(points)
+
+
+def main():
+    det, dists = build_tile()
+    moves_per_sec, dt, n_found = bench_jax(det, dists)
+    base_moves_per_sec, _ = bench_python_baseline(det, dists)
+    result = {
+        "metric": "rjmcmc_moves_per_sec",
+        "value": round(moves_per_sec, 1),
+        "unit": "moves/s/chip",
+        "vs_baseline": round(moves_per_sec / base_moves_per_sec, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

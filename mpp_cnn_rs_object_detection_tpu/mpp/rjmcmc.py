@@ -66,6 +66,162 @@ class RJMCMCParams:
 
 
 @flax.struct.dataclass
+class EnergyCache:
+    """Pair/unary energy bookkeeping carried through the scan.
+
+    The expensive pair computations (rotated-rect intersection) are O(K^2) on
+    a full recompute; a single RJMCMC move touches ONE slot, so only that row
+    (+ symmetric column) changes — O(K) heavy work per step, with the per-row
+    reductions left as cheap masked elementwise max/min. This is the
+    vectorized analog of the reference's incremental EnergyGraph
+    (``point_set/energy_graph.py:46-104``), without object bookkeeping.
+    """
+
+    dist: Array     # (K, K) center distances
+    overlap: Array  # (K, K) intersection / min-area ratios
+    align: Array    # (K, K) 1 - |cos dangle| - rewarding
+    pos_e: Array    # (K,) position energy
+    mark_e: Array   # (K, 3) per-mark energy map gathers
+
+
+def _pair_row(state: PointsState, spec: EnergySpec, slot: Array,
+              polys: Array, areas: Array) -> Tuple[Array, Array, Array]:
+    """dist/overlap/align of ``slot`` against all K points (O(K) heavy ops)."""
+    from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
+        convex_quad_intersection_area,
+    )
+
+    xy_s = state.xy[slot]
+    dist_row = jnp.linalg.norm(state.xy - xy_s[None, :], axis=-1)
+    poly_s = polys[slot]
+    inter_row = jax.vmap(
+        lambda pb: convex_quad_intersection_area(poly_s, pb)
+    )(polys)
+    min_area = jnp.minimum(areas, areas[slot])
+    overlap_row = inter_row / (min_area + 1e-6)
+    dangle = state.marks[slot, 2] - state.marks[:, 2]
+    align_row = 1.0 - jnp.abs(jnp.cos(dangle)) - float(spec.rewarding_align)
+    return dist_row, overlap_row, align_row
+
+
+def _unary_row(state: PointsState, maps: EnergyMaps, slot: Array
+               ) -> Tuple[Array, Array]:
+    from mpp_cnn_rs_object_detection_tpu.mpp.energies import marks_to_class
+
+    h, w = maps.position.shape
+    xi = jnp.clip(state.xy[slot, 0].astype(jnp.int32), 0, h - 1)
+    yi = jnp.clip(state.xy[slot, 1].astype(jnp.int32), 0, w - 1)
+    pos = maps.position[xi, yi]
+    cls = marks_to_class(state.marks[slot], maps)  # (3,)
+    mark = jnp.stack([maps.mark_maps[m, xi, yi, cls[m]] for m in range(3)])
+    return pos, mark
+
+
+def build_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec
+                ) -> EnergyCache:
+    """Full O(K^2) cache build (once per chain)."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.energies import marks_to_class
+    from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
+        convex_quad_intersection_area,
+        marks_to_poly,
+        rect_area,
+    )
+
+    polys = marks_to_poly(
+        state.xy, state.marks[:, 0], state.marks[:, 1], state.marks[:, 2]
+    )
+    areas = rect_area(state.marks[:, 0], state.marks[:, 1])
+    diff = state.xy[:, None, :] - state.xy[None, :, :]
+    dist = jnp.linalg.norm(diff, axis=-1)
+    inter = jax.vmap(
+        lambda pa: jax.vmap(lambda pb: convex_quad_intersection_area(pa, pb))(
+            polys
+        )
+    )(polys)
+    min_area = jnp.minimum(areas[:, None], areas[None, :])
+    overlap = inter / (min_area + 1e-6)
+    dangle = state.marks[:, None, 2] - state.marks[None, :, 2]
+    align = 1.0 - jnp.abs(jnp.cos(dangle)) - float(spec.rewarding_align)
+
+    h, w = maps.position.shape
+    xi = jnp.clip(state.xy[:, 0].astype(jnp.int32), 0, h - 1)
+    yi = jnp.clip(state.xy[:, 1].astype(jnp.int32), 0, w - 1)
+    pos_e = maps.position[xi, yi]
+    cls = marks_to_class(state.marks, maps)
+    mark_e = jnp.stack(
+        [maps.mark_maps[m, xi, yi, cls[:, m]] for m in range(3)], axis=-1
+    )
+    return EnergyCache(
+        dist=dist, overlap=overlap, align=align, pos_e=pos_e, mark_e=mark_e
+    )
+
+
+def update_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
+                 cache: EnergyCache, slot: Array) -> EnergyCache:
+    """Refresh row+column ``slot`` after a birth/move of that slot."""
+    from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
+        marks_to_poly,
+        rect_area,
+    )
+
+    polys = marks_to_poly(
+        state.xy, state.marks[:, 0], state.marks[:, 1], state.marks[:, 2]
+    )
+    areas = rect_area(state.marks[:, 0], state.marks[:, 1])
+    dist_row, ov_row, al_row = _pair_row(state, spec, slot, polys, areas)
+    pos_s, mark_s = _unary_row(state, maps, slot)
+    return EnergyCache(
+        dist=cache.dist.at[slot, :].set(dist_row).at[:, slot].set(dist_row),
+        overlap=cache.overlap.at[slot, :].set(ov_row).at[:, slot].set(ov_row),
+        align=cache.align.at[slot, :].set(al_row).at[:, slot].set(al_row),
+        pos_e=cache.pos_e.at[slot].set(pos_s),
+        mark_e=cache.mark_e.at[slot].set(mark_s),
+    )
+
+
+def energy_from_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
+                      comb: EnergyCombiner, cache: EnergyCache) -> Array:
+    """U(config) from cached matrices — O(K^2) cheap elementwise only.
+    Bit-identical to ``energies.total_energy`` (validated in tests)."""
+    from mpp_cnn_rs_object_detection_tpu.ops.geometry import rect_area
+
+    k = state.capacity
+    eye = jnp.eye(k, dtype=bool)
+    alive_pair = state.alive[:, None] & state.alive[None, :] & ~eye
+
+    ov_mask = alive_pair & (cache.dist <= spec.overlap_max_dist)
+    has_ov = jnp.any(ov_mask, axis=1)
+    overlap_red = jnp.where(
+        has_ov, jnp.max(jnp.where(ov_mask, cache.overlap, -jnp.inf), axis=1), 0.0
+    )
+    al_mask = alive_pair & (cache.dist <= spec.align_max_dist)
+    has_al = jnp.any(al_mask, axis=1)
+    if spec.rewarding_align:
+        align_red = jnp.min(jnp.where(al_mask, cache.align, jnp.inf), axis=1)
+    else:
+        align_red = jnp.max(jnp.where(al_mask, cache.align, -jnp.inf), axis=1)
+    align_red = jnp.where(has_al, align_red, 0.0)
+
+    area = rect_area(state.marks[:, 0], state.marks[:, 1])
+    area_prior = jnp.maximum(
+        0.0, jnp.maximum(maps.min_area - area, area - maps.max_area)
+    )
+
+    cols = [cache.pos_e]
+    if spec.shape_mode == "mean":
+        cols.append(jnp.mean(cache.mark_e, axis=-1))
+    else:
+        cols.extend([cache.mark_e[:, 0], cache.mark_e[:, 1], cache.mark_e[:, 2]])
+    cols.extend([overlap_red, align_red, area_prior])
+    if spec.use_ratio_prior:
+        cols.append(jnp.abs(maps.target_ratio - state.marks[:, 1]))
+    vec = jnp.stack(cols, axis=-1)
+    vec = jnp.where(state.alive[:, None], vec, 0.0)
+    per_point = comb(vec)
+    return jnp.sum(jnp.where(state.alive, per_point, 0.0))
+
+
+@flax.struct.dataclass
 class ChainStats:
     accepted: Array      # (8,) accepted moves per kernel
     proposed: Array      # (8,) proposals per kernel
@@ -76,16 +232,23 @@ class ChainStats:
 
 def make_step_fn(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
                  kd: KernelData, alpha_t: float, t_target: float):
-    """Build the scan body; all tile data is closed over (device-resident)."""
+    """Build the scan body; all tile data is closed over (device-resident).
+
+    A step costs O(K) rotated-rect intersections (the changed row of the
+    carried EnergyCache) + O(K^2) cheap masked reductions — the vectorized
+    equivalent of the reference's incremental ΔU (``energy_graph.py:139-225``),
+    but recomputed-exact rather than lazily cached."""
 
     def step(carry, key):
-        state, energy, temp = carry
+        state, cache, energy, temp = carry
         k_kernel, k_prop, k_accept = jax.random.split(key, 3)
         kernel_idx = jax.random.categorical(k_kernel, jnp.log(kd.p_kernels))
         prop = sample_proposal(k_prop, kernel_idx, state, kd)
 
         new_state = apply_proposal(state, prop)
-        new_energy = total_energy(new_state, maps, spec, comb)
+        slot = jnp.clip(prop.slot, 0, state.capacity - 1)
+        new_cache = update_cache(new_state, maps, spec, cache, slot)
+        new_energy = energy_from_cache(new_state, maps, spec, comb, new_cache)
         delta = new_energy - energy
 
         log_alpha = -delta / temp + prop.log_back - prop.log_fwd
@@ -94,9 +257,12 @@ def make_step_fn(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
         state = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), new_state, state
         )
+        cache = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), new_cache, cache
+        )
         energy = jnp.where(accept, new_energy, energy)
         temp = jnp.where(temp > t_target, temp * alpha_t, temp)
-        return (state, energy, temp), (accept, kernel_idx)
+        return (state, cache, energy, temp), (accept, kernel_idx)
 
     return step
 
@@ -108,10 +274,11 @@ def run_chain(key, init_state: PointsState, maps: EnergyMaps, spec: EnergySpec,
               ) -> Tuple[PointsState, ChainStats]:
     """Run one annealed chain for ``n_steps`` moves."""
     step = make_step_fn(maps, spec, comb, kd, alpha_t, t_target)
-    u0 = total_energy(init_state, maps, spec, comb)
+    cache0 = build_cache(init_state, maps, spec)
+    u0 = energy_from_cache(init_state, maps, spec, comb, cache0)
     keys = jax.random.split(key, n_steps)
-    (state, energy, temp), (accepts, kernel_ids) = jax.lax.scan(
-        step, (init_state, u0, jnp.asarray(t0, jnp.float32)), keys
+    (state, _, energy, temp), (accepts, kernel_ids) = jax.lax.scan(
+        step, (init_state, cache0, u0, jnp.asarray(t0, jnp.float32)), keys
     )
     onehot = jax.nn.one_hot(kernel_ids, 8, dtype=jnp.float32)
     stats = ChainStats(

@@ -240,6 +240,41 @@ def test_rjmcmc_finds_objects(setup):
         assert det[int(p[0]), int(p[1])] > 0.3, f"point at {p} off-blob"
 
 
+def test_cache_energy_matches_full_recompute(setup):
+    """The incremental EnergyCache path must agree with the dense recompute
+    through an arbitrary proposal sequence (cache correctness invariant,
+    analog of reference ``EnergyGraph.check_integrity``)."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.kernels import (
+        apply_proposal,
+        sample_proposal,
+    )
+    from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import (
+        build_cache,
+        energy_from_cache,
+        update_cache,
+    )
+
+    maps, kd, mappings, det, centers = setup
+    comb = _hrc_combiner()
+    st = state_from_arrays(
+        [[16, 16], [40, 40], [17, 18]],
+        [[6.0, 0.5, 0.1], [5.0, 0.6, 1.0], [6.0, 0.5, 0.2]],
+        capacity=8,
+    )
+    cache = build_cache(st, maps, LEGACY_SPEC)
+    key = jax.random.PRNGKey(3)
+    for i in range(25):
+        key, k1, k2 = jax.random.split(key, 3)
+        kidx = jax.random.randint(k1, (), 0, 8)
+        prop = sample_proposal(k2, kidx, st, kd)
+        st = apply_proposal(st, prop)
+        slot = jnp.clip(prop.slot, 0, st.capacity - 1)
+        cache = update_cache(st, maps, LEGACY_SPEC, cache, slot)
+        e_cache = float(energy_from_cache(st, maps, LEGACY_SPEC, comb, cache))
+        e_full = float(total_energy(st, maps, LEGACY_SPEC, comb))
+        np.testing.assert_allclose(e_cache, e_full, rtol=1e-4, atol=1e-5)
+
+
 def test_rjmcmc_batch(setup):
     maps, kd, mappings, det, centers = setup
     comb = _hrc_combiner()
