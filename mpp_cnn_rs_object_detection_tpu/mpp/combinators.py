@@ -56,11 +56,17 @@ def combine(comb: EnergyCombiner, vec: Array) -> Array:
         gated = jnp.sum(w * vec, axis=-1) - w[i] * vec[:, i]
         return w[i] * vec[:, i] + indicator * gated
 
-    if kind == "hierarchical":
-        # legacy 5-column layout: [pos, shape, overlap, align, area]
-        wd = jax.nn.softmax(p["data_weight"])
-        wp = jax.nn.softmax(p["prior_weight"])
-        wdp = jax.nn.softmax(p["data_prior_weight"])
+    if kind in ("hierarchical", "hierarchical_fixed"):
+        # legacy 5-column layout: [pos, shape, overlap, align, area].
+        # 'hierarchical' is the trainable form (softmax-normalised raw
+        # weights, reference hierarchical.py:65-77); '_fixed' is the exported
+        # combinator with already-normalised weights (hierarchical.py:13-32).
+        if kind == "hierarchical":
+            wd = jax.nn.softmax(p["data_weight"])
+            wp = jax.nn.softmax(p["prior_weight"])
+            wdp = jax.nn.softmax(p["data_prior_weight"])
+        else:
+            wd, wp, wdp = p["data_weight"], p["prior_weight"], p["data_prior_weight"]
         indicator = vec[:, 0] <= p["threshold"]
         data_term = wd[0] * vec[:, 0] + indicator * wd[1] * vec[:, 1]
         prior_term = indicator * (
@@ -134,6 +140,25 @@ def hierarchical(names: Sequence[str], threshold: float = 0.0,
             "data_prior_weight": jnp.ones((2,), jnp.float32),
             "threshold": jnp.asarray(threshold, jnp.float32),
             "bias": jnp.asarray(0.0, jnp.float32),
+        },
+    )
+
+
+def hierarchical_fixed(names: Sequence[str], weights_data, weights_prior,
+                       data_prior_weights, threshold: float = 0.0,
+                       bias: float = 0.0) -> EnergyCombiner:
+    """Exported/manual hierarchical combinator with normalised weights
+    (reference ``HierarchicalEnergyCombinator``, built from the legacy
+    'manual' config block at ``mpp_model.py:160-181``)."""
+    return EnergyCombiner(
+        kind="hierarchical_fixed",
+        names=tuple(names),
+        params={
+            "data_weight": jnp.asarray(weights_data, jnp.float32),
+            "prior_weight": jnp.asarray(weights_prior, jnp.float32),
+            "data_prior_weight": jnp.asarray(data_prior_weights, jnp.float32),
+            "threshold": jnp.asarray(threshold, jnp.float32),
+            "bias": jnp.asarray(bias, jnp.float32),
         },
     )
 

@@ -75,8 +75,8 @@ NO_CALIBRATION_SPEC = EnergySpec(
         "SizeEnergy",
         "RatioEnergy",
         "AngleEnergy",
-        "RectangleOverlapEnergy",
-        "ShapeAlignmentEnergy",
+        "OverlapPriorEnergy",
+        "AlignmentPriorEnergy",
         "AreaPriorEnergy",
         "RatioPriorEnergy",
     ),

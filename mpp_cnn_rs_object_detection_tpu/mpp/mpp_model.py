@@ -1,0 +1,392 @@
+"""MPPModel facade: calibrate / train weights / infer / eval.
+
+Rebuild of reference ``models/mpp/mpp_model.py:43-399`` around the vmapped
+scan sampler: per image the scene pipeline (``scene.py``) replaces the
+process-pool fan-out, papangelou scores come from the batched energy function,
+and the DOTA OBB export (plain + '-SV' marking large-vehicles difficult)
+matches the reference writer format.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pickle
+import re
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from mpp_cnn_rs_object_detection_tpu.metrics.dota_eval import dota_eval
+from mpp_cnn_rs_object_detection_tpu.metrics.dota_writer import DOTAResultsTranslator
+from mpp_cnn_rs_object_detection_tpu.models.base import BaseModel
+from mpp_cnn_rs_object_detection_tpu.mpp import combinators as comb_lib
+from mpp_cnn_rs_object_detection_tpu.mpp.energy_setups import (
+    EnergySetup,
+    make_energy_setup,
+)
+from mpp_cnn_rs_object_detection_tpu.mpp.image_data import (
+    ImageWMaps,
+    crop_image_w_maps,
+    load_image_w_maps,
+)
+from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import RJMCMCParams
+from mpp_cnn_rs_object_detection_tpu.mpp.scene import run_mpp_on_scene
+from mpp_cnn_rs_object_detection_tpu.ops.geometry import rect_to_poly, sra_to_wla
+from mpp_cnn_rs_object_detection_tpu.utils.config import (
+    fetch_data_paths,
+    get_inference_path,
+    resolve_model_config_path,
+    startup_config,
+)
+from mpp_cnn_rs_object_detection_tpu.utils.files import make_if_not_exist
+
+_ID_RE = re.compile(r"[^0-9]*([0-9]+).*\.png")
+
+TRAIN_MODES = ["manual", "integral_criterion", "ordering_criterion"]
+
+
+def ensure_cnn_inference(dataset: str, subset: str, position_model: str,
+                         shape_model: str):
+    """Run posnet/shapenet inference lazily if result pickles are missing
+    (reference ``MPPDataset`` at ``data_loaders.py:175-202``)."""
+    paths = fetch_data_paths(dataset, subset, metadata=False)
+    ids = [
+        int(_ID_RE.match(os.path.split(p)[1]).group(1)) for p in paths["images"]
+    ]
+    for model_name, kind in [(position_model, "posnet"), (shape_model, "shapenet")]:
+        res_dir = get_inference_path(model_name, dataset, subset)
+        missing = [
+            i
+            for i in ids
+            if not os.path.exists(os.path.join(res_dir, f"{i:04}_results.pkl"))
+        ]
+        if not missing:
+            continue
+        logging.info(
+            f"{kind} results missing for {len(missing)} images; running inference"
+        )
+        with open(resolve_model_config_path(model_name)) as f:
+            cfg = json.load(f)
+        if kind == "posnet":
+            from mpp_cnn_rs_object_detection_tpu.models.posnet_model import (
+                PosNetModel,
+            )
+
+            model = PosNetModel(cfg, load=True, train=False, dataset=dataset)
+        else:
+            from mpp_cnn_rs_object_detection_tpu.models.shapenet_model import (
+                ShapeNetModel,
+            )
+
+            model = ShapeNetModel(cfg, load=True, train=False, dataset=dataset)
+        model.infer(subset=subset, overwrite=False)
+
+
+class MPPModel(BaseModel):
+    def __init__(self, config: Dict, phase: str = "infer", overwrite: bool = False,
+                 load: bool = False, dataset: Optional[str] = None):
+        self.config, self.logger, self.save_path = startup_config(
+            config, "mpp", overwrite=overwrite, load_model=load
+        )
+        if dataset is not None:
+            self.config["dataset"]["dataset"] = dataset
+        self.dataset = self.config["dataset"]["dataset"]
+        self.position_model = self.config["dataset"]["position_model"]
+        self.shape_model = self.config["dataset"]["shape_model"]
+        self.patch_size = self.config["dataset"].get("patch_size", 256)
+        self.capacity = self.config.get("capacity", 256)
+        self.rng = np.random.default_rng(0)
+
+        self.energy_setup: EnergySetup = make_energy_setup(self.config)
+        self.energy_model = None
+
+        comb_file = os.path.join(self.save_path, "energy_combination_model.json")
+        if load:
+            if os.path.exists(comb_file):
+                self.energy_model = comb_lib.load_combiner(comb_file)
+                self.energy_setup.load_calibration(self.save_path)
+            elif self._find_train_mode() == "manual":
+                self.calibrate()
+                self.train()
+            else:
+                raise FileNotFoundError(comb_file)
+        else:
+            assert phase == "train"
+            self.calibrate()
+
+    # ----------------------------------------------------------------- data
+
+    def _image_ids(self, subset: str) -> List[int]:
+        paths = fetch_data_paths(self.dataset, subset, metadata=False)
+        return [
+            int(_ID_RE.match(os.path.split(p)[1]).group(1))
+            for p in paths["images"]
+        ]
+
+    def _load_image(self, patch_id: int, subset: str) -> ImageWMaps:
+        return load_image_w_maps(
+            patch_id, self.dataset, subset, self.position_model, self.shape_model
+        )
+
+    def _sample_crops(self, subset: str, n_crops: int) -> List[ImageWMaps]:
+        """Object-biased fixed-size crops (reference ``MPPDataset``
+        ``data_loaders.py:164-249``: crops centred near random GT objects)."""
+        ensure_cnn_inference(
+            self.dataset, subset, self.position_model, self.shape_model
+        )
+        ids = self._image_ids(subset)
+        images = [self._load_image(i, subset) for i in ids]
+        crops = []
+        for _ in range(n_crops):
+            data = images[self.rng.integers(len(images))]
+            h, w = data.shape[:2]
+            ph = min(self.patch_size, h)
+            if len(data.gt_centers) > 0:
+                c = data.gt_centers[self.rng.integers(len(data.gt_centers))]
+                jitter = self.rng.integers(-ph // 4, ph // 4 + 1, size=2)
+                tl = np.clip(
+                    c.astype(int) + jitter - ph // 2,
+                    0,
+                    [max(h - ph, 0), max(w - ph, 0)],
+                )
+            else:
+                tl = np.array(
+                    [
+                        self.rng.integers(max(h - ph, 0) + 1),
+                        self.rng.integers(max(w - ph, 0) + 1),
+                    ]
+                )
+            crops.append(crop_image_w_maps(data, tl, ph))
+        return crops
+
+    # ------------------------------------------------------------ calibrate
+
+    def calibrate(self):
+        n_images = (self.config.get("calibration") or {}).get("n_images", 8)
+        crops = self._sample_crops("train", n_images)
+        self.energy_setup.calibrate(crops, self.rng, self.save_path)
+        logging.info("calibration done")
+
+    # ---------------------------------------------------------------- train
+
+    def _find_train_mode(self) -> Optional[str]:
+        modes = [t for t in TRAIN_MODES if t in self.config]
+        assert len(modes) <= 1, f"multiple train modes {modes}"
+        return modes[0] if modes else None
+
+    def train(self):
+        if self.energy_setup.calibration is None:
+            try:
+                self.energy_setup.load_calibration(self.save_path)
+            except FileNotFoundError:
+                self.calibrate()
+        mode = self._find_train_mode()
+        names = self.energy_setup.spec.names
+
+        if mode == "manual":
+            manual = self.config["manual"]
+            if (self.config.get("energy_setup") or "legacy") == "legacy":
+                dp = np.array([manual["Data"], manual["Prior"]], float)
+                wd = np.array(
+                    [manual["PositionEnergy"], manual["ShapeEnergy"]], float
+                )
+                wp = np.array(
+                    [
+                        manual["RectangleOverlapEnergy"],
+                        manual["ShapeAlignmentEnergy"],
+                        manual["AreaPriorEnergy"],
+                    ],
+                    float,
+                )
+                self.energy_model = comb_lib.hierarchical_fixed(
+                    names,
+                    weights_data=wd / wd.sum(),
+                    weights_prior=wp / wp.sum(),
+                    data_prior_weights=dp / dp.sum(),
+                    threshold=manual.get("threshold", 0.0),
+                )
+            else:
+                self.energy_model = comb_lib.manual_hierarchical(
+                    names,
+                    weights_dict=manual["weights"],
+                    indicator_energy=manual.get(
+                        "indicator_energy", "PositionEnergy"
+                    ),
+                    threshold=manual.get("threshold", 0.0),
+                )
+        elif mode in ("ordering_criterion", "integral_criterion"):
+            cfg = dict(self.config[mode])
+            n_crops = cfg.pop("n_crops", 64)
+            crops = self._sample_crops("train", n_crops)
+            batch_size = (self.config.get("data_loader") or {}).get(
+                "batch_size", 8
+            )
+            from mpp_cnn_rs_object_detection_tpu.mpp.train_weights import (
+                train_integral_criterion,
+                train_ordering_criterion,
+            )
+
+            fn = (
+                train_ordering_criterion
+                if mode == "ordering_criterion"
+                else train_integral_criterion
+            )
+            self.energy_model = fn(
+                crops,
+                self.energy_setup,
+                logger=self.logger,
+                save_dir=self.save_path,
+                rng=self.rng,
+                batch_size=batch_size,
+                capacity=self.capacity,
+                **cfg,
+            )
+        else:
+            raise NotImplementedError(f"no train mode in config ({TRAIN_MODES})")
+
+        comb_lib.save_combiner(
+            os.path.join(self.save_path, "energy_combination_model.json"),
+            self.energy_model,
+        )
+        logging.info("saved energy_combination_model.json")
+
+    # ---------------------------------------------------------------- infer
+
+    def infer(self, subset: str = "val", overwrite: bool = True, **kwargs):
+        assert self.energy_model is not None, "train/load the combinator first"
+        ensure_cnn_inference(
+            self.dataset, subset, self.position_model, self.shape_model
+        )
+        results_dir = get_inference_path(
+            model_name=os.path.split(self.save_path)[1],
+            dataset=self.dataset,
+            subset=subset,
+        )
+        make_if_not_exist(results_dir, recursive=True)
+        dota_trlt = DOTAResultsTranslator(
+            self.dataset, subset, results_dir, det_type="obb",
+            all_classes=["vehicle"],
+        )
+        dota_trlt_sv = DOTAResultsTranslator(
+            self.dataset, subset, results_dir, det_type="obb",
+            all_classes=["vehicle"], postfix="-SV",
+        )
+
+        rj_cfg = self.config["inference"]["rjmcmc_params"]
+        params = RJMCMCParams(
+            n_steps=rj_cfg.get("burn_in", 30000),
+            t0=rj_cfg.get("init_temperature", 1.0),
+            t_target=rj_cfg.get("target_temperature", 0.0),
+            alpha_t=rj_cfg.get("alpha_t", 0.999),
+            n_samples=rj_cfg.get("num_samples", 1),
+            samples_interval=rj_cfg.get("samples_interval", 1),
+        )
+        max_score = self.config["inference"].get("max_score", 4.0)
+
+        for patch_id in self._image_ids(subset):
+            out_pkl = os.path.join(results_dir, f"{patch_id:04}_results.pkl")
+            if os.path.exists(out_pkl) and not overwrite:
+                logging.info(f"{out_pkl} exists, skipping")
+                continue
+            data = self._load_image(patch_id, subset)
+            result = run_mpp_on_scene(
+                data,
+                self.energy_setup,
+                self.energy_model,
+                params,
+                seed=patch_id,
+                patch_size=self.patch_size,
+                capacity=self.capacity,
+            )
+
+            pred_params = np.array(
+                [
+                    sra_to_wla(m[0], m[1], m[2])
+                    for m in result.marks
+                ]
+            ).reshape(-1, 3)
+            detection_as_poly = np.array(
+                [
+                    np.asarray(rect_to_poly(c, p[0], p[1], p[2]))
+                    for c, p in zip(result.centers, pred_params)
+                ]
+            )
+            centers = np.asarray(data.labels["centers"]).reshape(-1, 2)
+            gt_params = np.asarray(data.labels["parameters"]).reshape(-1, 3)
+            difficulty = np.asarray(data.labels["difficult"]).reshape(-1)
+            categories = np.asarray(data.labels["categories"]).reshape(-1)
+            gt_as_poly = np.array(
+                [
+                    np.asarray(
+                        rect_to_poly(c, short=p[0], long=p[1], angle=p[2])
+                    )
+                    for c, p in zip(centers, gt_params)
+                ]
+            )
+            dota_trlt.add_gt(
+                image_id=patch_id, polygons=gt_as_poly, difficulty=difficulty,
+                categories=["vehicle"] * len(gt_as_poly),
+            )
+            dota_trlt_sv.add_gt(
+                image_id=patch_id,
+                polygons=gt_as_poly,
+                difficulty=[
+                    bool(d) or c == "large-vehicle"
+                    for d, c in zip(difficulty, categories)
+                ],
+                categories=["vehicle"] * len(gt_as_poly),
+            )
+            scores01 = result.scores / max_score
+            if len(scores01) and scores01.max() > 1.0:
+                logging.warning(
+                    f"pred score exceeds max_score ({result.scores.max():.2f} "
+                    f"> {max_score})"
+                )
+            for trlt in (dota_trlt, dota_trlt_sv):
+                trlt.add_detections(
+                    image_id=patch_id,
+                    scores=scores01,
+                    polygons=detection_as_poly,
+                    flip_coor=True,
+                    class_names=["vehicle"] * len(scores01),
+                )
+            with open(out_pkl, "wb") as f:
+                pickle.dump(
+                    {
+                        "detection": detection_as_poly,
+                        "detection_type": "poly",
+                        "detection_center": result.centers,
+                        "detection_score": result.scores,
+                        "detection_params": pred_params,
+                        "detection_marks": result.marks,
+                        "mappings": data.mappings,
+                    },
+                    f,
+                )
+        dota_trlt.save()
+        dota_trlt_sv.save()
+        logging.info("saved dota translation")
+
+    def eval(self):
+        dota_eval(
+            model_dir=self.save_path, dataset=self.dataset, subset="val",
+            det_type="obb",
+        )
+        dota_eval(
+            model_dir=self.save_path, dataset=self.dataset, subset="val",
+            det_type="obb", postfix="-SV",
+        )
+
+    def data_preview(self):
+        preview_dir = os.path.join(self.save_path, "data_preview")
+        make_if_not_exist(preview_dir)
+        from PIL import Image
+
+        for i, patch_id in enumerate(self._image_ids("train")[:8]):
+            data = self._load_image(patch_id, "train")
+            arr = np.clip(data.image, 0, 1)
+            Image.fromarray((arr * 255).astype(np.uint8)).save(
+                os.path.join(preview_dir, f"preview_{data.name}_gt.png")
+            )

@@ -1,0 +1,168 @@
+"""Scene-level MPP inference: tile -> batched chains -> merge -> rescore.
+
+Replaces the reference's one-forked-process-per-tile ``Pool.map(sample_rjmcmc)``
+(``mpp_model.py:250-262``) with ONE device launch: all tiles of a scene are
+stacked (identical static shapes) and the annealed chains run under a single
+``vmap``-of-``scan``. Detections are merged back to scene coordinates with the
+reference's distance dedup (keep max papangelou) and rescored globally.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpp_cnn_rs_object_detection_tpu.mpp.combinators import EnergyCombiner
+from mpp_cnn_rs_object_detection_tpu.mpp.energies import EnergyMaps
+from mpp_cnn_rs_object_detection_tpu.mpp.energy_setups import EnergySetup
+from mpp_cnn_rs_object_detection_tpu.mpp.image_data import (
+    ImageWMaps,
+    merge_patch_results,
+    split_image,
+)
+from mpp_cnn_rs_object_detection_tpu.mpp.kernels import KernelData
+from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import (
+    RJMCMCParams,
+    papangelou,
+    run_chain,
+)
+from mpp_cnn_rs_object_detection_tpu.mpp.state import (
+    PointsState,
+    state_from_arrays,
+    state_to_arrays,
+)
+from mpp_cnn_rs_object_detection_tpu.ops.nms import nms_distance
+
+
+def naive_detection(data: ImageWMaps, detection_threshold: float
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Threshold + distance NMS + argmax marks
+    (reference ``sample_rjmcmc.py:23-35``)."""
+    det = data.detection_map
+    centers = np.array(np.where(det >= detection_threshold)).T
+    if len(centers) == 0:
+        return np.zeros((0, 2), np.float32), np.zeros((0, 3), np.float32)
+    scores = det[centers[:, 0], centers[:, 1]]
+    nms_centers, _ = nms_distance(centers, scores, threshold=6)
+    nms_centers = np.asarray(nms_centers).reshape(-1, 2)
+    marks = []
+    for c in nms_centers:
+        sra = [
+            m.class_to_value(int(np.argmax(d[c[0], c[1]])))
+            for m, d in zip(data.mappings, data.param_dist_maps)
+        ]
+        marks.append(sra)
+    return nms_centers.astype(np.float32), np.asarray(marks, np.float32)
+
+
+def pad_image_w_maps(data: ImageWMaps, target: int) -> ImageWMaps:
+    """Zero-pad maps (bottom/right) so small images reach the tile size."""
+    h, w = data.shape
+    ph, pw = max(0, target - h), max(0, target - w)
+    if ph == 0 and pw == 0:
+        return data
+    data.image = np.pad(data.image, ((0, ph), (0, pw), (0, 0)))
+    data.detection_map = np.pad(data.detection_map, ((0, ph), (0, pw)))
+    data.param_dist_maps = [
+        np.pad(p, ((0, ph), (0, pw), (0, 0))) for p in data.param_dist_maps
+    ]
+    data.shape = data.image.shape[:2]
+    return data
+
+
+@dataclass
+class SceneResult:
+    centers: np.ndarray  # (N, 2)
+    marks: np.ndarray    # (N, 3) size/ratio/angle
+    scores: np.ndarray   # (N,) papangelou
+    n_tiles: int = 1
+    total_moves: int = 0
+
+
+def _stack_states(states: List[PointsState]) -> PointsState:
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
+                     params: RJMCMCParams, seed: int = 0, patch_size: int = 256,
+                     min_overlap: int = 32, capacity: int = 256,
+                     init: str = "naive", kernel_weights=None) -> SceneResult:
+    """Full-scene MPP inference (reference ``mpp_model.py:202-321`` infer body)."""
+    data = pad_image_w_maps(data, patch_size)
+    patches = split_image(data, patch_size, min_overlap)
+
+    maps_list, kd_list, init_list = [], [], []
+    for p in patches:
+        if init == "naive":
+            c0, m0 = naive_detection(p, setup.detection_threshold)
+        elif init == "gt":
+            c0, m0 = p.gt_centers, p.gt_marks
+        else:
+            c0 = np.zeros((0, 2), np.float32)
+            m0 = np.zeros((0, 3), np.float32)
+        c0, m0 = c0[:capacity], m0[:capacity]
+        intensity = max(1, len(c0))
+        maps_list.append(setup.make_maps(p))
+        kd_list.append(
+            setup.make_kernel_data(p, intensity=intensity,
+                                   kernel_weights=kernel_weights)
+        )
+        init_list.append(state_from_arrays(c0, m0, capacity=capacity))
+
+    maps_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *maps_list)
+    kd_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *kd_list)
+    init_b = _stack_states(init_list)
+    n_tiles = len(patches)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_tiles)
+
+    alpha = params.resolved_alpha()
+    spec = setup.spec
+
+    def one_tile(key, st, maps, kd):
+        final, stats = run_chain(
+            key, st, maps, spec, comb, kd,
+            n_steps=params.total_steps, t0=params.t0,
+            alpha_t=alpha, t_target=params.t_target,
+        )
+        scores = papangelou(final, maps, spec, comb)
+        return final, scores, stats
+
+    finals, scores_b, stats = jax.vmap(one_tile)(keys, init_b, maps_b, kd_b)
+
+    # host-side merge
+    centers_list, marks_list, scores_list = [], [], []
+    for t in range(n_tiles):
+        st_t = jax.tree_util.tree_map(lambda x: x[t], finals)
+        xy, marks = state_to_arrays(st_t)
+        alive = np.asarray(st_t.alive)
+        centers_list.append(xy)
+        marks_list.append(marks)
+        scores_list.append(np.asarray(scores_b[t])[alive])
+    centers, marks, scores = merge_patch_results(
+        patches, centers_list, marks_list, scores_list, distance=3.0
+    )
+
+    # global papangelou rescoring on the full-scene maps
+    if len(centers) > 0:
+        scene_maps = setup.make_maps(data)
+        scene_state = state_from_arrays(
+            centers, marks, capacity=int(len(centers))
+        )
+        scores = np.asarray(papangelou(scene_state, scene_maps, spec, comb))
+
+    logging.info(
+        f"scene {data.name}: {n_tiles} tiles x {params.total_steps} moves -> "
+        f"{len(centers)} detections"
+    )
+    return SceneResult(
+        centers=np.asarray(centers).reshape(-1, 2),
+        marks=np.asarray(marks).reshape(-1, 3),
+        scores=np.asarray(scores).reshape(-1),
+        n_tiles=n_tiles,
+        total_moves=n_tiles * params.total_steps,
+    )

@@ -1,0 +1,257 @@
+"""Energy-combination weight learning (the MPP's trainable part).
+
+Rebuild of reference ``models/mpp/train_energy_combination/``:
+
+  - **Ordering criterion** (``train_ordering_criterion.py:43-219``, used by
+    mpp_log): perturb GT configs with kernel moves, maximise the mean energy
+    increase — ``loss = -mean(U(perturbed) - U(gt))``. In the reference this
+    needs a torch bridge (``EnergyComputeTorch``) threaded through the energy
+    graph; here ΔU is a pure jnp function of the combiner params, so autograd
+    is free and the whole (images x samples) batch evaluates in one jit.
+  - **Integral criterion** (``train_integral_criterion.py:20-258``,
+    contrastive): ``loss = mean(U(gt+)) - mean(U(neg-)) + reg``.
+
+Both return an ``EnergyCombiner`` whose JSON export is the model-store
+artifact (replacing ``energy_combination_model.pkl``).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mpp_cnn_rs_object_detection_tpu.mpp.combinators import (
+    EnergyCombiner,
+    combine,
+    init_combiner,
+    regularisation,
+)
+from mpp_cnn_rs_object_detection_tpu.mpp.energies import (
+    EnergyMaps,
+    energy_vectors,
+)
+from mpp_cnn_rs_object_detection_tpu.mpp.energy_setups import EnergySetup
+from mpp_cnn_rs_object_detection_tpu.mpp.image_data import ImageWMaps
+from mpp_cnn_rs_object_detection_tpu.mpp.kernels import KernelData
+from mpp_cnn_rs_object_detection_tpu.mpp.perturbations import (
+    PRESETS,
+    sample_kernel_perturbed_batch,
+    sample_perturbed_batch,
+)
+from mpp_cnn_rs_object_detection_tpu.mpp.state import PointsState, state_from_arrays
+
+NON_TRAINABLE = ("threshold", "raw_energy")
+
+
+def _stack(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def prepare_batch(crops: List[ImageWMaps], setup: EnergySetup, capacity: int
+                  ) -> Tuple[EnergyMaps, KernelData, PointsState]:
+    """Stack per-crop maps/kernel-data/GT states for one vmapped evaluation."""
+    maps, kds, gts = [], [], []
+    for c in crops:
+        n = max(1, len(c.gt_centers))
+        maps.append(setup.make_maps(c))
+        kds.append(setup.make_kernel_data(c, intensity=n))
+        gts.append(
+            state_from_arrays(
+                c.gt_centers[:capacity], c.gt_marks[:capacity], capacity=capacity
+            )
+        )
+    return _stack(maps), _stack(kds), _stack(gts)
+
+
+def _masked_grads(grads: Dict):
+    """Zero out non-trainable param entries (threshold etc. are constants in
+    the reference models)."""
+    return {
+        k: (jnp.zeros_like(v) if k in NON_TRAINABLE else v)
+        for k, v in grads.items()
+    }
+
+
+def _config_energy(comb: EnergyCombiner, state: PointsState, maps: EnergyMaps,
+                   spec) -> jnp.ndarray:
+    vec = energy_vectors(state, maps, spec)
+    per_point = combine(comb, vec)
+    return jnp.sum(jnp.where(state.alive, per_point, 0.0))
+
+
+def train_ordering_criterion(crops: List[ImageWMaps], setup: EnergySetup,
+                             logger, save_dir: str, rng: np.random.Generator,
+                             n_epochs: int = 8, samples_per_image: int = 16,
+                             learning_rate: float = 0.05, optim: str = "adam",
+                             reg_weight: float = 0.0,
+                             weight_model_type: str = "logistic",
+                             neg_pert_config: Dict = None,
+                             lr_scheduler: bool = False,
+                             lr_scheduler_params: Dict = None,
+                             batch_size: int = 8, capacity: int = 256,
+                             **_unused) -> EnergyCombiner:
+    spec = setup.spec
+    comb = init_combiner(weight_model_type, spec.names)
+    iter_per_point = (neg_pert_config or {}).get("iter_per_point", 1.0)
+
+    if lr_scheduler:
+        gamma = (lr_scheduler_params or {}).get("gamma", 0.95)
+        schedule = optax.exponential_decay(
+            learning_rate, transition_steps=1, decay_rate=gamma
+        )
+    else:
+        schedule = learning_rate
+    tx = optax.adam(schedule) if optim == "adam" else optax.sgd(schedule)
+    opt_state = tx.init(comb.params)
+
+    n_moves = max(
+        1, int(iter_per_point * max(1, max(len(c.gt_centers) for c in crops)))
+    )
+    key = jax.random.PRNGKey(int(rng.integers(2**31)))
+
+    @jax.jit
+    def train_step(params, opt_state, key, maps_b, kd_b, gt_b):
+        k_pert, _ = jax.random.split(key)
+        pert_b = jax.vmap(
+            lambda k, g, kd: sample_kernel_perturbed_batch(
+                k, g, kd, n_moves, samples_per_image
+            )
+        )(jax.random.split(k_pert, gt_b.xy.shape[0]), gt_b, kd_b)
+
+        def loss_fn(p):
+            c = comb.replace(params=p)
+            u_gt = jax.vmap(lambda g, m: _config_energy(c, g, m, spec))(
+                gt_b, maps_b
+            )  # (B,)
+            u_pert = jax.vmap(
+                lambda pb, m: jax.vmap(
+                    lambda s: _config_energy(c, s, m, spec)
+                )(pb)
+            )(pert_b, maps_b)  # (B, S)
+            deltas = u_pert - u_gt[:, None]
+            loss = -jnp.mean(deltas)
+            if reg_weight:
+                loss = loss + reg_weight * regularisation(c.replace(params=p))
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = _masked_grads(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = comb.params
+    n_batches = max(1, len(crops) // batch_size)
+    step_i = 0
+    for epoch in range(n_epochs):
+        order = rng.permutation(len(crops))
+        for b in range(n_batches):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            batch = [crops[i] for i in idx]
+            maps_b, kd_b, gt_b = prepare_batch(batch, setup, capacity)
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = train_step(
+                params, opt_state, sub, maps_b, kd_b, gt_b
+            )
+            step_i += 1
+        comb = comb.replace(params=params)
+        if logger is not None:
+            from mpp_cnn_rs_object_detection_tpu.mpp.combinators import (
+                combiner_as_report_dict,
+            )
+
+            logger.update(
+                epoch, {"loss": float(loss), **combiner_as_report_dict(comb)}
+            )
+        logging.info(f"[ordering] epoch {epoch}: loss {float(loss):.4f}")
+    return comb
+
+
+def train_integral_criterion(crops: List[ImageWMaps], setup: EnergySetup,
+                             logger, save_dir: str, rng: np.random.Generator,
+                             n_epochs: int = 8, samples_per_image: int = 8,
+                             learning_rate: float = 0.05, optim: str = "adam",
+                             reg_weight: float = 0.0,
+                             weight_model_type: str = "logistic",
+                             pos_pert: str = "light", neg_pert: str = "medium",
+                             lr_scheduler: bool = False,
+                             lr_scheduler_params: Dict = None,
+                             batch_size: int = 8, capacity: int = 256,
+                             **_unused) -> EnergyCombiner:
+    """Contrastive criterion: positives = GT (+light jitter), negatives =
+    medium/strong perturbations (reference ``train_integral_criterion.py``)."""
+    spec = setup.spec
+    comb = init_combiner(weight_model_type, spec.names)
+    pos_preset = PRESETS[pos_pert]
+    neg_preset = PRESETS[neg_pert]
+
+    if lr_scheduler:
+        gamma = (lr_scheduler_params or {}).get("gamma", 0.95)
+        schedule = optax.exponential_decay(
+            learning_rate, transition_steps=1, decay_rate=gamma
+        )
+    else:
+        schedule = learning_rate
+    tx = optax.adam(schedule) if optim == "adam" else optax.sgd(schedule)
+    opt_state = tx.init(comb.params)
+    key = jax.random.PRNGKey(int(rng.integers(2**31)))
+    patch_hw = crops[0].shape
+
+    @jax.jit
+    def train_step(params, opt_state, key, maps_b, kd_b, gt_b):
+        k_pos, k_neg = jax.random.split(key)
+        nb = gt_b.xy.shape[0]
+        pos_b = jax.vmap(
+            lambda k, g, kd: sample_perturbed_batch(
+                k, g, kd, patch_hw, pos_preset, samples_per_image
+            )
+        )(jax.random.split(k_pos, nb), gt_b, kd_b)
+        neg_b = jax.vmap(
+            lambda k, g, kd: sample_perturbed_batch(
+                k, g, kd, patch_hw, neg_preset, samples_per_image
+            )
+        )(jax.random.split(k_neg, nb), gt_b, kd_b)
+
+        def loss_fn(p):
+            c = comb.replace(params=p)
+
+            def batch_energy(states_b, maps):
+                return jax.vmap(lambda s: _config_energy(c, s, maps, spec))(
+                    states_b
+                )
+
+            e_plus = jnp.mean(jax.vmap(batch_energy)(pos_b, maps_b))
+            e_minus = jnp.mean(jax.vmap(batch_energy)(neg_b, maps_b))
+            loss = e_plus - e_minus
+            if reg_weight:
+                loss = loss + reg_weight * (
+                    jnp.square(e_plus) + jnp.square(e_minus)
+                )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = _masked_grads(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = comb.params
+    n_batches = max(1, len(crops) // batch_size)
+    for epoch in range(n_epochs):
+        order = rng.permutation(len(crops))
+        for b in range(n_batches):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            batch = [crops[i] for i in idx]
+            maps_b, kd_b, gt_b = prepare_batch(batch, setup, capacity)
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = train_step(
+                params, opt_state, sub, maps_b, kd_b, gt_b
+            )
+        comb = comb.replace(params=params)
+        if logger is not None:
+            logger.update(epoch, {"loss": float(loss)})
+        logging.info(f"[integral] epoch {epoch}: loss {float(loss):.4f}")
+    return comb
