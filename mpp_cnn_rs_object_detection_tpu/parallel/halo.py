@@ -14,10 +14,20 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-try:
-    from jax import shard_map  # jax >= 0.8
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+def shard_map(f, mesh, in_specs, out_specs, **_ignored):
+    """jax.shard_map wrapper tolerant to the check_rep->check_vma rename."""
+    try:
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

@@ -9,9 +9,11 @@ import pytest
 
 
 def test_halo_exchange_rows():
-    from mpp_cnn_rs_object_detection_tpu.parallel.halo import halo_exchange_rows
+    from mpp_cnn_rs_object_detection_tpu.parallel.halo import (
+        halo_exchange_rows,
+        shard_map,
+    )
     from mpp_cnn_rs_object_detection_tpu.parallel.mesh import make_mesh
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     mesh = make_mesh(("data",))
