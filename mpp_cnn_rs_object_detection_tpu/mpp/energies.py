@@ -27,6 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mpp_cnn_rs_object_detection_tpu.mpp.classic_energies import (
+    ContrastConfig,
+    contrast_energy_points,
+    gradient_energy_points,
+)
 from mpp_cnn_rs_object_detection_tpu.mpp.state import PointsState
 from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
     convex_quad_intersection_area,
@@ -41,7 +46,8 @@ Array = jnp.ndarray
 class EnergySpec:
     """Static description of which energy columns exist (hashable, safe to
     close over under jit). Mirrors the reference's EnergySetup choice of terms
-    (``energy_setup_legacy.py:40-46``, ``energy_setup_no_calibration.py``)."""
+    (``energy_setup_legacy.py:40-46``, ``energy_setup_no_calibration.py``,
+    ``energy_setup_contrast.py``)."""
 
     names: Tuple[str, ...]
     shape_mode: str = "mean"  # 'mean' (legacy ShapeEnergy) | 'separate' (3 marks)
@@ -49,6 +55,11 @@ class EnergySpec:
     rewarding_align: bool = True
     overlap_max_dist: float = 32.0
     align_max_dist: float = 16.0
+    # data term: 'cnn' (detection + mark maps), 'contrast' or 'gradient'
+    # (CNN-free, reference classics.py; maps.image carries the pixels /
+    # precomputed gradient)
+    data_term: str = "cnn"
+    contrast: Optional["ContrastConfig"] = None
 
     @property
     def n_energies(self) -> int:
@@ -97,11 +108,13 @@ class EnergyMaps:
     min_area: Array    # scalar
     max_area: Array    # scalar
     target_ratio: Array  # scalar (RatioPrior; unused in legacy spec)
+    image: Array       # (H, W, 3) pixels or gradient field; (1,1,3) if unused
 
 
 def make_energy_maps(detection_map: np.ndarray, mark_energy_maps: List[np.ndarray],
                      threshold: float, min_area: float, max_area: float,
-                     mappings, target_ratio: float = 0.0) -> EnergyMaps:
+                     mappings, target_ratio: float = 0.0,
+                     image: Optional[np.ndarray] = None) -> EnergyMaps:
     """Host-side constructor from CNN inference artifacts.
 
     ``mark_energy_maps`` are the already-remapped (H, W, C) per-mark maps:
@@ -117,7 +130,31 @@ def make_energy_maps(detection_map: np.ndarray, mark_energy_maps: List[np.ndarra
         min_area=jnp.asarray(min_area, jnp.float32),
         max_area=jnp.asarray(max_area, jnp.float32),
         target_ratio=jnp.asarray(target_ratio, jnp.float32),
+        image=(
+            jnp.asarray(image, jnp.float32)
+            if image is not None
+            else jnp.zeros((1, 1, 3), jnp.float32)
+        ),
     )
+
+
+def data_columns(state: PointsState, maps: EnergyMaps, spec: EnergySpec):
+    """The data-term columns of the per-point energy vector."""
+    if spec.data_term == "cnn":
+        h, w = maps.position.shape
+        xi = jnp.clip(state.xy[:, 0].astype(jnp.int32), 0, h - 1)
+        yi = jnp.clip(state.xy[:, 1].astype(jnp.int32), 0, w - 1)
+        pos = maps.position[xi, yi]
+        mark_e = _gather_mark_energies(state, maps)
+        if spec.shape_mode == "mean":
+            return [pos, jnp.mean(mark_e, axis=-1)]
+        return [pos, mark_e[:, 0], mark_e[:, 1], mark_e[:, 2]]
+    if spec.data_term == "contrast":
+        cfg = spec.contrast or ContrastConfig()
+        return [contrast_energy_points(maps.image, state.xy, state.marks, cfg)]
+    if spec.data_term == "gradient":
+        return [gradient_energy_points(maps.image, state.xy, state.marks)]
+    raise ValueError(spec.data_term)
 
 
 def marks_to_class(marks: Array, maps: EnergyMaps) -> Array:
@@ -190,23 +227,13 @@ def pair_terms(state: PointsState, spec: EnergySpec) -> Tuple[Array, Array]:
 
 def energy_vectors(state: PointsState, maps: EnergyMaps, spec: EnergySpec) -> Array:
     """(K, n_energies) per-point energy vector (0 rows at dead slots)."""
-    h, w = maps.position.shape
-    xi = jnp.clip(state.xy[:, 0].astype(jnp.int32), 0, h - 1)
-    yi = jnp.clip(state.xy[:, 1].astype(jnp.int32), 0, w - 1)
-
-    pos = maps.position[xi, yi]
-    mark_e = _gather_mark_energies(state, maps)  # (K, 3)
     overlap_red, align_red = pair_terms(state, spec)
     area = rect_area(state.marks[:, 0], state.marks[:, 1])
     area_prior = jnp.maximum(
         0.0, jnp.maximum(maps.min_area - area, area - maps.max_area)
     )
 
-    cols = [pos]
-    if spec.shape_mode == "mean":
-        cols.append(jnp.mean(mark_e, axis=-1))
-    else:
-        cols.extend([mark_e[:, 0], mark_e[:, 1], mark_e[:, 2]])
+    cols = list(data_columns(state, maps, spec))
     cols.extend([overlap_red, align_red, area_prior])
     if spec.use_ratio_prior:
         cols.append(jnp.abs(maps.target_ratio - state.marks[:, 1]))

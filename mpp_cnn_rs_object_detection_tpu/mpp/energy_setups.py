@@ -224,6 +224,94 @@ class NoCalibrationEnergySetup(EnergySetup):
         return 0.5
 
 
+CONTRAST_NAMES = (
+    "ContrastEnergy",
+    "OverlapPriorEnergy",
+    "AlignmentPriorEnergy",
+    "AreaPriorEnergy",
+    "RatioPriorEnergy",
+)
+
+
+@dataclass
+class ContrastMeasureEnergySetup(EnergySetup):
+    """CNN-free variant: image-contrast data term + priors
+    (reference ``energy_setup_contrast.py:29-155``)."""
+
+    contrast_type: str = "craciun2"
+    rewarding_priors: bool = True
+    manual_threshold: Optional[float] = None
+    target_ratio: float = 0.5
+    calibration: Optional[Dict[str, Any]] = None
+
+    def __post_init__(self):
+        from mpp_cnn_rs_object_detection_tpu.mpp.classic_energies import (
+            ContrastConfig,
+        )
+
+        data_term = "gradient" if self.contrast_type == "gradient" else "contrast"
+        contrast = None
+        if data_term == "contrast":
+            contrast = ContrastConfig(
+                measure=self.contrast_type,
+                gap=1 if self.contrast_type != "craciun" else 0,
+                erode=1 if self.contrast_type != "craciun" else 0,
+                rgb=self.contrast_type != "t-test",
+                thresh=self.manual_threshold or 0.0,
+            )
+        self.spec = EnergySpec(
+            names=CONTRAST_NAMES,
+            shape_mode="mean",  # unused (no cnn data term)
+            use_ratio_prior=True,
+            rewarding_align=self.rewarding_priors,
+            data_term=data_term,
+            contrast=contrast,
+        )
+
+    @property
+    def energy_names(self) -> List[str]:
+        return list(CONTRAST_NAMES)
+
+    def calibrate(self, image_configs: List[ImageWMaps], rng, save_path: str):
+        min_area, max_area = calibrate_min_area(
+            [c.gt_marks for c in image_configs]
+        )
+        self.calibration = {
+            "min_area": min_area,
+            "max_area": max_area,
+            "detection_threshold": self.manual_threshold or 0.0,
+        }
+        if save_path:
+            with open(os.path.join(save_path, "calibration.json"), "w") as f:
+                json.dump(self.calibration, f, cls=NumpyEncoder, indent=1)
+
+    def load_calibration(self, save_dir: str):
+        with open(os.path.join(save_dir, "calibration.json")) as f:
+            self.calibration = json.load(f)
+
+    def make_maps(self, data: ImageWMaps) -> EnergyMaps:
+        cal = self.calibration
+        if self.contrast_type == "gradient":
+            grad = np.stack(np.gradient(np.mean(data.image, -1)), axis=-1)
+            img = np.concatenate([grad, np.zeros_like(grad[..., :1])], axis=-1)
+        else:
+            img = data.image
+        return make_energy_maps(
+            detection_map=data.detection_map,
+            mark_energy_maps=[-m for m in data.param_dist_maps],
+            threshold=0.0,
+            min_area=cal["min_area"],
+            max_area=cal["max_area"],
+            mappings=data.mappings,
+            target_ratio=self.target_ratio,
+            image=img,
+        )
+
+    @property
+    def detection_threshold(self) -> float:
+        return 0.5
+
+
 def make_energy_setup(config: Dict[str, Any]) -> EnergySetup:
     """Pick the setup from the mpp config (reference ``mpp_model.py:62-85``:
     ``energy_setup`` in {'legacy', 'no-calibration'} + ``energy_setup_params``)."""
@@ -234,4 +322,6 @@ def make_energy_setup(config: Dict[str, Any]) -> EnergySetup:
         return LegacyEnergySetup(calibration_params=cal_params, **kwargs)
     if kind in ("no-calibration", "no_calibration", "no_calib"):
         return NoCalibrationEnergySetup(**kwargs)
+    if kind == "contrast":
+        return ContrastMeasureEnergySetup(**kwargs)
     raise ValueError(f"unknown energy setup {kind}")

@@ -42,16 +42,21 @@ MAX_DELTA = 8  # data-translation window half-size (reference make_kernels.py:12
 WINDOW = 2 * MAX_DELTA + 1
 
 # proposal kinds
-NOOP, BIRTH, DEATH, MOVE = 0, 1, 2, 3
+NOOP, BIRTH, DEATH, MOVE, SPLIT, MERGE = 0, 1, 2, 3, 4, 5
 
 # kernel indices in the mixture
 K_UNIF_BIRTH, K_UNIF_DEATH, K_DATA_BIRTH, K_DATA_DEATH = 0, 1, 2, 3
 K_GAUSS_TRL, K_DATA_TRL, K_GAUSS_TRF, K_DATA_TRF = 4, 5, 6, 7
+K_SPLIT, K_MERGE = 8, 9
+
+MERGE_RADIUS = 16.0  # reference make_kernels.py:142
+SPLIT_SHAPE_SIGMA = 0.1
 
 BASE_KERNEL_WEIGHTS = {
     "bd_weight": 1.0,
     "uniform_bd_weight": 1.0,
     "data_bd_weight": 2.0,
+    "ms_weight": 1.0,
     "translation_weight": 1.0,
     "gaussian_translation_weight": 1.0,
     "data_translation_weight": 2.0,
@@ -63,10 +68,17 @@ BASE_KERNEL_WEIGHTS = {
 
 @flax.struct.dataclass
 class Proposal:
-    kind: Array      # int32 scalar: NOOP/BIRTH/DEATH/MOVE
+    """A standardized move. ``slot2/xy2/marks2`` are only active for
+    SPLIT (second new point claims a free slot) and MERGE (second removed
+    slot); other kernels set slot2 = slot."""
+
+    kind: Array      # int32 scalar: NOOP/BIRTH/DEATH/MOVE/SPLIT/MERGE
     slot: Array      # int32 scalar
     xy: Array        # (2,) f32
     marks: Array     # (3,) f32
+    slot2: Array     # int32 scalar
+    xy2: Array       # (2,) f32
+    marks2: Array    # (3,) f32
     log_fwd: Array   # f32
     log_back: Array  # f32
 
@@ -89,36 +101,49 @@ class KernelData:
     sigma_trf: Array        # (3,) = 0.1 * mark range
 
 
-def kernel_probabilities(weights=None) -> np.ndarray:
-    """The 8-way mixture from the decision tree (``make_kernels.py:50-177``,
-    split/merge excluded)."""
+def kernel_probabilities(weights=None, use_split_merge: bool = False
+                         ) -> np.ndarray:
+    """The kernel mixture from the decision tree (``make_kernels.py:50-177``):
+    8 kernels, or 10 with the split/merge pair enabled."""
     w = dict(BASE_KERNEL_WEIGHTS, **(weights or {}))
-    top = np.array([w["bd_weight"], w["translation_weight"], w["transformation_weight"]])
-    p_bd, p_trl, p_trf = top / top.sum()
+    if use_split_merge:
+        top = np.array(
+            [w["bd_weight"], w["ms_weight"], w["translation_weight"],
+             w["transformation_weight"]]
+        )
+        p_bd, p_ms, p_trl, p_trf = top / top.sum()
+    else:
+        top = np.array(
+            [w["bd_weight"], w["translation_weight"], w["transformation_weight"]]
+        )
+        p_bd, p_trl, p_trf = top / top.sum()
+        p_ms = 0.0
     bd = np.array([w["uniform_bd_weight"], w["data_bd_weight"]])
     p_bd_unif, p_bd_data = bd / bd.sum()
     trl = np.array([w["gaussian_translation_weight"], w["data_translation_weight"]])
     p_trl_g, p_trl_d = trl / trl.sum()
     trf = np.array([w["gaussian_transformation_weight"], w["data_transformation_weight"]])
     p_trf_g, p_trf_d = trf / trf.sum()
-    p = np.array(
-        [
-            0.5 * p_bd * p_bd_unif,
-            0.5 * p_bd * p_bd_unif,
-            0.5 * p_bd * p_bd_data,
-            0.5 * p_bd * p_bd_data,
-            p_trl * p_trl_g,
-            p_trl * p_trl_d,
-            p_trf * p_trf_g,
-            p_trf * p_trf_d,
-        ]
-    )
+    p = [
+        0.5 * p_bd * p_bd_unif,
+        0.5 * p_bd * p_bd_unif,
+        0.5 * p_bd * p_bd_data,
+        0.5 * p_bd * p_bd_data,
+        p_trl * p_trl_g,
+        p_trl * p_trl_d,
+        p_trf * p_trf_g,
+        p_trf * p_trf_d,
+    ]
+    if use_split_merge:
+        p += [0.5 * p_ms, 0.5 * p_ms]
+    p = np.array(p)
     assert abs(p.sum() - 1.0) < 1e-8
     return p
 
 
 def make_kernel_data(detection_map: np.ndarray, mark_dist_maps, mappings,
-                     intensity: float, kernel_weights=None) -> KernelData:
+                     intensity: float, kernel_weights=None,
+                     use_split_merge: bool = False) -> KernelData:
     """Host-side constructor (mirrors ``make_kernels``)."""
     det = np.asarray(detection_map, np.float64)
     det = np.maximum(det, 0.0)
@@ -137,7 +162,9 @@ def make_kernel_data(detection_map: np.ndarray, mark_dist_maps, mappings,
         map_vmin=jnp.array([m.v_min for m in mappings], jnp.float32),
         map_vmax=jnp.array([m.v_max for m in mappings], jnp.float32),
         map_cyclic=jnp.array([m.is_cyclic for m in mappings], bool),
-        p_kernels=jnp.asarray(kernel_probabilities(kernel_weights), jnp.float32),
+        p_kernels=jnp.asarray(
+            kernel_probabilities(kernel_weights, use_split_merge), jnp.float32
+        ),
         log_norm_const=jnp.asarray(np.log(float(h * w * c ** 3)), jnp.float32),
         intensity=jnp.asarray(float(intensity), jnp.float32),
         sigma_trl=jnp.asarray(2.0, jnp.float32),
@@ -190,14 +217,25 @@ def _normal_logpdf(x, sigma):
     return -0.5 * (x / sigma) ** 2 - jnp.log(sigma * jnp.sqrt(2.0 * jnp.pi))
 
 
-def _noop(log_p: Array) -> Proposal:
+def _mk_prop(kind, slot, xy, marks, log_fwd, log_back,
+             slot2=None, xy2=None, marks2=None) -> Proposal:
     return Proposal(
-        kind=jnp.int32(NOOP),
-        slot=jnp.int32(0),
-        xy=jnp.zeros((2,), jnp.float32),
-        marks=jnp.ones((3,), jnp.float32),
-        log_fwd=log_p,
-        log_back=log_p,
+        kind=jnp.int32(kind),
+        slot=jnp.asarray(slot, jnp.int32),
+        xy=jnp.asarray(xy, jnp.float32),
+        marks=jnp.asarray(marks, jnp.float32),
+        slot2=jnp.asarray(slot if slot2 is None else slot2, jnp.int32),
+        xy2=jnp.asarray(xy if xy2 is None else xy2, jnp.float32),
+        marks2=jnp.asarray(marks if marks2 is None else marks2, jnp.float32),
+        log_fwd=log_fwd,
+        log_back=log_back,
+    )
+
+
+def _noop(log_p: Array) -> Proposal:
+    return _mk_prop(
+        NOOP, 0, jnp.zeros((2,), jnp.float32), jnp.ones((3,), jnp.float32),
+        log_p, log_p,
     )
 
 
@@ -247,13 +285,10 @@ def _birth_common(key, state: PointsState, kd: KernelData, p_half: Array,
     n = state.n_points
     slot = jnp.argmin(state.alive)
     full = jnp.all(state.alive)
-    prop = Proposal(
-        kind=jnp.int32(BIRTH),
-        slot=slot.astype(jnp.int32),
-        xy=jnp.array([xi, yi], jnp.float32),
-        marks=marks,
-        log_fwd=_log(p_half) + log_q - _log(kd.intensity),
-        log_back=_log(p_half) - _log((n + 1).astype(jnp.float32)),
+    prop = _mk_prop(
+        BIRTH, slot, jnp.array([xi, yi], jnp.float32), marks,
+        _log(p_half) + log_q - _log(kd.intensity),
+        _log(p_half) - _log((n + 1).astype(jnp.float32)),
     )
     # capacity overflow: reject the move by construction (no-op)
     return _select_prop(full, _noop(_log(p_half)), prop)
@@ -277,13 +312,10 @@ def _death_common(key, state: PointsState, kd: KernelData, p_half: Array,
         )
     else:
         log_q = _log(jnp.asarray(1.0))
-    prop = Proposal(
-        kind=jnp.int32(DEATH),
-        slot=safe_slot.astype(jnp.int32),
-        xy=state.xy[safe_slot],
-        marks=state.marks[safe_slot],
-        log_fwd=_log(p_half) - _log(n.astype(jnp.float32)),
-        log_back=_log(p_half) + log_q - _log(kd.intensity),
+    prop = _mk_prop(
+        DEATH, safe_slot, state.xy[safe_slot], state.marks[safe_slot],
+        _log(p_half) - _log(n.astype(jnp.float32)),
+        _log(p_half) + log_q - _log(kd.intensity),
     )
     return _select_prop(slot < 0, _noop(_log(p_half)), prop)
 
@@ -303,13 +335,8 @@ def _gaussian_translation(key, state: PointsState, kd: KernelData,
     )
     log_density = jnp.sum(_normal_logpdf(delta, kd.sigma_trl))
     log_p = _log(p_kernel) + log_density - _log(n.astype(jnp.float32))
-    prop = Proposal(
-        kind=jnp.int32(MOVE),
-        slot=safe_slot.astype(jnp.int32),
-        xy=new_xy,
-        marks=state.marks[safe_slot],
-        log_fwd=log_p,
-        log_back=log_p,  # symmetric
+    prop = _mk_prop(
+        MOVE, safe_slot, new_xy, state.marks[safe_slot], log_p, log_p,
     )
     return _select_prop(slot < 0, _noop(_log(p_kernel)), prop)
 
@@ -343,13 +370,9 @@ def _data_translation(key, state: PointsState, kd: KernelData,
     bi = xi - new_x + MAX_DELTA
     bj = yi - new_y + MAX_DELTA
     log_back = _log(p_kernel) + logw_b[bi, bj] - _log(n.astype(jnp.float32))
-    prop = Proposal(
-        kind=jnp.int32(MOVE),
-        slot=safe_slot.astype(jnp.int32),
-        xy=jnp.array([new_x, new_y], jnp.float32),
-        marks=state.marks[safe_slot],
-        log_fwd=log_fwd,
-        log_back=log_back,
+    prop = _mk_prop(
+        MOVE, safe_slot, jnp.array([new_x, new_y], jnp.float32),
+        state.marks[safe_slot], log_fwd, log_back,
     )
     return _select_prop(slot < 0, _noop(_log(p_kernel)), prop)
 
@@ -374,13 +397,8 @@ def _gaussian_transform(key, state: PointsState, kd: KernelData,
     log_p = (
         _log(p_kernel) + _normal_logpdf(delta, sigma) - _log(n.astype(jnp.float32))
     )
-    prop = Proposal(
-        kind=jnp.int32(MOVE),
-        slot=safe_slot.astype(jnp.int32),
-        xy=state.xy[safe_slot],
-        marks=new_marks,
-        log_fwd=log_p,
-        log_back=log_p,  # symmetric
+    prop = _mk_prop(
+        MOVE, safe_slot, state.xy[safe_slot], new_marks, log_p, log_p,
     )
     return _select_prop(slot < 0, _noop(_log(p_kernel)), prop)
 
@@ -399,15 +417,127 @@ def _data_transform(key, state: PointsState, kd: KernelData,
     old_cls = _value_to_class(kd, pid, state.marks[safe_slot, pid])
     new_marks = state.marks[safe_slot].at[pid].set(new_val)
     nf = n.astype(jnp.float32)
-    prop = Proposal(
-        kind=jnp.int32(MOVE),
-        slot=safe_slot.astype(jnp.int32),
-        xy=state.xy[safe_slot],
-        marks=new_marks,
-        log_fwd=_log(p_kernel) + _log(row[new_cls]) - _log(nf),
-        log_back=_log(p_kernel) + _log(row[old_cls]) - _log(nf),
+    prop = _mk_prop(
+        MOVE, safe_slot, state.xy[safe_slot], new_marks,
+        _log(p_kernel) + _log(row[new_cls]) - _log(nf),
+        _log(p_kernel) + _log(row[old_cls]) - _log(nf),
     )
     return _select_prop(slot < 0, _noop(_log(p_kernel)), prop)
+
+
+def _clip_marks(kd: KernelData, marks: Array) -> Array:
+    """Mapping clip: cyclic wrap for angle, min/max clamp otherwise
+    (reference ``mappings.py`` ValueMapping.clip)."""
+    rng = kd.map_vmax - kd.map_vmin
+    wrapped = ((marks - kd.map_vmin) % rng) + kd.map_vmin
+    clamped = jnp.clip(marks, kd.map_vmin, kd.map_vmax)
+    return jnp.where(kd.map_cyclic, wrapped, clamped)
+
+
+def _count_neighbors(state: PointsState, xy: Array, radius: float,
+                     exclude_slot: Array) -> Array:
+    """#alive points within ``radius`` of ``xy`` (excluding one slot)."""
+    d = jnp.linalg.norm(state.xy - xy[None, :], axis=-1)
+    mask = state.alive & (d <= radius)
+    mask = mask.at[jnp.clip(exclude_slot, 0, state.capacity - 1)].set(
+        jnp.where(exclude_slot >= 0, False, mask[jnp.clip(exclude_slot, 0, state.capacity - 1)])
+    )
+    return jnp.sum(mask)
+
+
+def _split_logpdf(kd: KernelData, pos_delta: Array, shape_delta: Array) -> Array:
+    """log density of a split displacement (reference
+    ``split_and_merge_kernels.py:32-36``: uniform disk x per-mark gaussians)."""
+    sigmas = SPLIT_SHAPE_SIGMA * (kd.map_vmax - kd.map_vmin)
+    lp = -jnp.log(jnp.pi * MERGE_RADIUS**2)
+    lp = lp + jnp.sum(_normal_logpdf(shape_delta, sigmas))
+    return lp
+
+
+def _split_kernel(key, state: PointsState, kd: KernelData, p_split: Array,
+                  p_merge: Array) -> Proposal:
+    """Split one point into two at +/- delta (reference ``SplitKernel``)."""
+    h, w = kd.log_birth_density.shape
+    n = state.n_points
+    k_slot, k_rad, k_ang, k_shape = jax.random.split(key, 4)
+    slot = _random_alive_slot(k_slot, state.alive)
+    safe_slot = jnp.maximum(slot, 0)
+    free_slot = jnp.argmin(state.alive)
+    full = jnp.all(state.alive)
+
+    # uniform on the positive-quadrant disk of radius MERGE_RADIUS
+    rho = MERGE_RADIUS * jnp.sqrt(jax.random.uniform(k_rad))
+    theta = jax.random.uniform(k_ang, maxval=jnp.pi / 2)
+    pos_delta = rho * jnp.array([jnp.cos(theta), jnp.sin(theta)])
+    sigmas = SPLIT_SHAPE_SIGMA * (kd.map_vmax - kd.map_vmin)
+    shape_delta = sigmas * jax.random.normal(k_shape, (3,))
+
+    p0 = state.xy[safe_slot]
+    m0 = state.marks[safe_slot]
+    lo = jnp.zeros((2,))
+    hi = jnp.array([h - 1, w - 1], jnp.float32)
+    xy_a = jnp.clip(jnp.trunc(p0 - pos_delta), lo, hi)
+    xy_b = jnp.clip(jnp.trunc(p0 + pos_delta), lo, hi)
+    marks_a = _clip_marks(kd, m0 - shape_delta)
+    marks_b = _clip_marks(kd, m0 + shape_delta)
+
+    nf = n.astype(jnp.float32)
+    log_fwd = (
+        _log(p_split) - _log(nf) + _split_logpdf(kd, pos_delta, shape_delta)
+        - _log(kd.intensity)
+    )
+    # backward = merge picking either new point then its sibling
+    nn_a = _count_neighbors(state, xy_a, MERGE_RADIUS, exclude_slot=safe_slot) + 1
+    nn_b = _count_neighbors(state, xy_b, MERGE_RADIUS, exclude_slot=safe_slot) + 1
+    log_back = _log(p_merge) + _log(
+        (1.0 / (nf + 1.0)) * (1.0 / nn_a + 1.0 / nn_b)
+    )
+    prop = _mk_prop(
+        SPLIT, safe_slot, xy_a, marks_a, log_fwd, log_back,
+        slot2=free_slot, xy2=xy_b, marks2=marks_b,
+    )
+    return _select_prop((slot < 0) | full, _noop(_log(p_split)), prop)
+
+
+def _merge_kernel(key, state: PointsState, kd: KernelData, p_split: Array,
+                  p_merge: Array) -> Proposal:
+    """Merge a point with a neighbor within MERGE_RADIUS into their average
+    (reference ``MergeKernel``)."""
+    h, w = kd.log_birth_density.shape
+    n = state.n_points
+    k_slot, k_nb = jax.random.split(key)
+    slot = _random_alive_slot(k_slot, state.alive)
+    safe_slot = jnp.maximum(slot, 0)
+    d = jnp.linalg.norm(state.xy - state.xy[safe_slot][None, :], axis=-1)
+    nb_mask = state.alive & (d <= MERGE_RADIUS)
+    nb_mask = nb_mask.at[safe_slot].set(False)
+    n_nb = jnp.sum(nb_mask)
+    nb_logits = jnp.where(nb_mask, 0.0, -jnp.inf)
+    nb_slot = jax.random.categorical(k_nb, nb_logits)
+    nb_slot = jnp.where(n_nb > 0, nb_slot, safe_slot)
+
+    p0, p1 = state.xy[safe_slot], state.xy[nb_slot]
+    m0, m1 = state.marks[safe_slot], state.marks[nb_slot]
+    lo = jnp.zeros((2,))
+    hi = jnp.array([h - 1, w - 1], jnp.float32)
+    xy_new = jnp.clip(jnp.trunc((p0 + p1) / 2.0), lo, hi)
+    marks_new = _clip_marks(kd, (m0 + m1) / 2.0)
+
+    nf = n.astype(jnp.float32)
+    log_fwd = _log(p_merge) - _log(nf) - _log(n_nb.astype(jnp.float32))
+    pos_delta = (p0 - p1) / 2.0
+    shape_delta = (m0 - m1) / 2.0
+    log_back = (
+        _log(p_split) - _log(nf - 1.0)
+        + _split_logpdf(kd, pos_delta, shape_delta) - _log(kd.intensity)
+    )
+    prop = _mk_prop(
+        MERGE, safe_slot, xy_new, marks_new, log_fwd, log_back,
+        slot2=nb_slot,
+        xy2=state.xy[nb_slot], marks2=state.marks[nb_slot],
+    )
+    invalid = (slot < 0) | (n < 2) | (n_nb == 0)
+    return _select_prop(invalid, _noop(_log(p_merge)), prop)
 
 
 def sample_proposal(key, kernel_idx: Array, state: PointsState,
@@ -424,22 +554,38 @@ def sample_proposal(key, kernel_idx: Array, state: PointsState,
         lambda k: _gaussian_transform(k, state, kd, p[K_GAUSS_TRF]),
         lambda k: _data_transform(k, state, kd, p[K_DATA_TRF]),
     ]
+    if kd.p_kernels.shape[0] == 10:
+        branches += [
+            lambda k: _split_kernel(k, state, kd, p[K_SPLIT], p[K_MERGE]),
+            lambda k: _merge_kernel(k, state, kd, p[K_SPLIT], p[K_MERGE]),
+        ]
     return jax.lax.switch(kernel_idx, branches, key)
 
 
 def apply_proposal(state: PointsState, prop: Proposal) -> PointsState:
     """Apply a proposal (no-op safe: kind == NOOP leaves the state intact)."""
     slot = jnp.clip(prop.slot, 0, state.capacity - 1)
-    write = (prop.kind == BIRTH) | (prop.kind == MOVE)
-    new_xy = jnp.where(
-        write, state.xy.at[slot].set(prop.xy), state.xy
+    slot2 = jnp.clip(prop.slot2, 0, state.capacity - 1)
+    write1 = (prop.kind == BIRTH) | (prop.kind == MOVE) | \
+        (prop.kind == SPLIT) | (prop.kind == MERGE)
+    write2 = prop.kind == SPLIT
+    new_xy = jnp.where(write1, state.xy.at[slot].set(prop.xy), state.xy)
+    new_xy = jnp.where(write2, new_xy.at[slot2].set(prop.xy2), new_xy)
+    new_marks = jnp.where(
+        write1, state.marks.at[slot].set(prop.marks), state.marks
     )
     new_marks = jnp.where(
-        write, state.marks.at[slot].set(prop.marks), state.marks
+        write2, new_marks.at[slot2].set(prop.marks2), new_marks
     )
     new_alive = jnp.where(
-        prop.kind == BIRTH,
+        (prop.kind == BIRTH) | (prop.kind == SPLIT),
         state.alive.at[slot].set(True),
         jnp.where(prop.kind == DEATH, state.alive.at[slot].set(False), state.alive),
+    )
+    new_alive = jnp.where(
+        prop.kind == SPLIT, new_alive.at[slot2].set(True), new_alive
+    )
+    new_alive = jnp.where(
+        prop.kind == MERGE, new_alive.at[slot2].set(False), new_alive
     )
     return state.replace(xy=new_xy, marks=new_marks, alive=new_alive)

@@ -104,9 +104,27 @@ def _pair_row(state: PointsState, spec: EnergySpec, slot: Array,
     return dist_row, overlap_row, align_row
 
 
-def _unary_row(state: PointsState, maps: EnergyMaps, slot: Array
-               ) -> Tuple[Array, Array]:
+def _unary_row(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
+               slot: Array) -> Tuple[Array, Array]:
     from mpp_cnn_rs_object_detection_tpu.mpp.energies import marks_to_class
+
+    if spec.data_term != "cnn":
+        from mpp_cnn_rs_object_detection_tpu.mpp.classic_energies import (
+            ContrastConfig,
+            contrast_energy_point,
+            gradient_energy_point,
+        )
+
+        if spec.data_term == "contrast":
+            cfg = spec.contrast or ContrastConfig()
+            val = contrast_energy_point(
+                maps.image, state.xy[slot], state.marks[slot], cfg
+            )
+        else:
+            val = gradient_energy_point(
+                maps.image, state.xy[slot], state.marks[slot]
+            )
+        return val, jnp.zeros((3,), jnp.float32)
 
     h, w = maps.position.shape
     xi = jnp.clip(state.xy[slot, 0].astype(jnp.int32), 0, h - 1)
@@ -143,14 +161,20 @@ def build_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec
     dangle = state.marks[:, None, 2] - state.marks[None, :, 2]
     align = 1.0 - jnp.abs(jnp.cos(dangle)) - float(spec.rewarding_align)
 
-    h, w = maps.position.shape
-    xi = jnp.clip(state.xy[:, 0].astype(jnp.int32), 0, h - 1)
-    yi = jnp.clip(state.xy[:, 1].astype(jnp.int32), 0, w - 1)
-    pos_e = maps.position[xi, yi]
-    cls = marks_to_class(state.marks, maps)
-    mark_e = jnp.stack(
-        [maps.mark_maps[m, xi, yi, cls[:, m]] for m in range(3)], axis=-1
-    )
+    if spec.data_term == "cnn":
+        h, w = maps.position.shape
+        xi = jnp.clip(state.xy[:, 0].astype(jnp.int32), 0, h - 1)
+        yi = jnp.clip(state.xy[:, 1].astype(jnp.int32), 0, w - 1)
+        pos_e = maps.position[xi, yi]
+        cls = marks_to_class(state.marks, maps)
+        mark_e = jnp.stack(
+            [maps.mark_maps[m, xi, yi, cls[:, m]] for m in range(3)], axis=-1
+        )
+    else:
+        from mpp_cnn_rs_object_detection_tpu.mpp.energies import data_columns
+
+        pos_e = data_columns(state, maps, spec)[0]
+        mark_e = jnp.zeros((state.capacity, 3), jnp.float32)
     return EnergyCache(
         dist=dist, overlap=overlap, align=align, pos_e=pos_e, mark_e=mark_e
     )
@@ -169,7 +193,7 @@ def update_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
     )
     areas = rect_area(state.marks[:, 0], state.marks[:, 1])
     dist_row, ov_row, al_row = _pair_row(state, spec, slot, polys, areas)
-    pos_s, mark_s = _unary_row(state, maps, slot)
+    pos_s, mark_s = _unary_row(state, maps, spec, slot)
     return EnergyCache(
         dist=cache.dist.at[slot, :].set(dist_row).at[:, slot].set(dist_row),
         overlap=cache.overlap.at[slot, :].set(ov_row).at[:, slot].set(ov_row),
@@ -208,10 +232,13 @@ def energy_from_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
     )
 
     cols = [cache.pos_e]
-    if spec.shape_mode == "mean":
-        cols.append(jnp.mean(cache.mark_e, axis=-1))
-    else:
-        cols.extend([cache.mark_e[:, 0], cache.mark_e[:, 1], cache.mark_e[:, 2]])
+    if spec.data_term == "cnn":
+        if spec.shape_mode == "mean":
+            cols.append(jnp.mean(cache.mark_e, axis=-1))
+        else:
+            cols.extend(
+                [cache.mark_e[:, 0], cache.mark_e[:, 1], cache.mark_e[:, 2]]
+            )
     cols.extend([overlap_red, align_red, area_prior])
     if spec.use_ratio_prior:
         cols.append(jnp.abs(maps.target_ratio - state.marks[:, 1]))
@@ -247,7 +274,10 @@ def make_step_fn(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
 
         new_state = apply_proposal(state, prop)
         slot = jnp.clip(prop.slot, 0, state.capacity - 1)
+        slot2 = jnp.clip(prop.slot2, 0, state.capacity - 1)
         new_cache = update_cache(new_state, maps, spec, cache, slot)
+        # second slot (split/merge); idempotent when slot2 == slot
+        new_cache = update_cache(new_state, maps, spec, new_cache, slot2)
         new_energy = energy_from_cache(new_state, maps, spec, comb, new_cache)
         delta = new_energy - energy
 

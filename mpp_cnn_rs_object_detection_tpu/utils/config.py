@@ -77,7 +77,12 @@ def get_model_base_path() -> str:
 
 def fetch_data_paths(dataset: str, subset: str, images=True, annotations=True,
                      metadata=True) -> Dict[str, List[str]]:
-    """Sorted image/annotation/metadata file lists of ``<dataset>/<subset>``."""
+    """Sorted image/annotation/metadata file lists of ``<dataset>/<subset>``.
+
+    Files are matched by their numeric id; orphans (e.g. an annotation with no
+    image, which the reference's own data_sample ships) are dropped with a
+    warning instead of asserting.
+    """
     data_path = os.path.join(get_dataset_base_path(), dataset, subset)
     res = {}
     if images:
@@ -90,8 +95,22 @@ def fetch_data_paths(dataset: str, subset: str, images=True, annotations=True,
         res["metadata"] = sorted(
             glob.glob(os.path.join(data_path, "metadata", "*.json"))
         )
-    lengths = {k: len(v) for k, v in res.items()}
-    assert len(set(lengths.values())) == 1, f"mismatched data files: {lengths}"
+
+    def file_id(p):
+        m = re.match(r"[^0-9]*([0-9]+)", os.path.split(p)[1])
+        return m.group(1) if m else None
+
+    id_sets = [{file_id(p) for p in v} for v in res.values()]
+    common = set.intersection(*id_sets) if id_sets else set()
+    if any(len(s) != len(common) for s in id_sets):
+        dropped = set.union(*id_sets) - common
+        logging.warning(
+            f"{dataset}/{subset}: dropping {len(dropped)} orphan file id(s): "
+            f"{sorted(dropped)}"
+        )
+        res = {
+            k: [p for p in v if file_id(p) in common] for k, v in res.items()
+        }
     return res
 
 

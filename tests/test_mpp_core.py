@@ -254,7 +254,13 @@ def test_cache_energy_matches_full_recompute(setup):
         update_cache,
     )
 
-    maps, kd, mappings, det, centers = setup
+    from mpp_cnn_rs_object_detection_tpu.mpp.kernels import make_kernel_data
+
+    maps, _, mappings, det, centers = setup
+    # 10-kernel mixture: exercises split/merge cache updates too
+    dist = np.asarray(_normalize_dists())
+    kd = make_kernel_data(det, [dist] * 3, mappings, intensity=10.0,
+                          use_split_merge=True)
     comb = _hrc_combiner()
     st = state_from_arrays(
         [[16, 16], [40, 40], [17, 18]],
@@ -263,16 +269,24 @@ def test_cache_energy_matches_full_recompute(setup):
     )
     cache = build_cache(st, maps, LEGACY_SPEC)
     key = jax.random.PRNGKey(3)
-    for i in range(25):
+    for i in range(40):
         key, k1, k2 = jax.random.split(key, 3)
-        kidx = jax.random.randint(k1, (), 0, 8)
+        kidx = jax.random.randint(k1, (), 0, 10)
         prop = sample_proposal(k2, kidx, st, kd)
         st = apply_proposal(st, prop)
         slot = jnp.clip(prop.slot, 0, st.capacity - 1)
+        slot2 = jnp.clip(prop.slot2, 0, st.capacity - 1)
         cache = update_cache(st, maps, LEGACY_SPEC, cache, slot)
+        cache = update_cache(st, maps, LEGACY_SPEC, cache, slot2)
         e_cache = float(energy_from_cache(st, maps, LEGACY_SPEC, comb, cache))
         e_full = float(total_energy(st, maps, LEGACY_SPEC, comb))
         np.testing.assert_allclose(e_cache, e_full, rtol=1e-4, atol=1e-5)
+
+
+def _normalize_dists():
+    dist = np.full((H, W, C), 1.0 / C, np.float32)
+    dist[..., 3] = 3.0 / C
+    return dist / dist.sum(-1, keepdims=True)
 
 
 def test_rjmcmc_batch(setup):
