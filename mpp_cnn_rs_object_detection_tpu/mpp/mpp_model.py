@@ -365,6 +365,28 @@ class MPPModel(BaseModel):
                     },
                     f,
                 )
+            # detection / gt overlays (reference mpp_model.py:306-326)
+            from mpp_cnn_rs_object_detection_tpu.utils.display import (
+                rectangles_over_image,
+                save_image,
+            )
+
+            save_image(
+                os.path.join(results_dir, f"{patch_id:04}_detection.png"),
+                rectangles_over_image(
+                    data.image, result.centers, pred_params,
+                    scores=result.scores, color="plasma",
+                    max_score=max(1e-6, float(np.max(result.scores)))
+                    if len(result.scores)
+                    else 1.0,
+                ),
+            )
+            save_image(
+                os.path.join(results_dir, f"{patch_id:04}_gt.png"),
+                rectangles_over_image(
+                    data.image, centers, gt_params, color=(0, 255, 0)
+                ),
+            )
         dota_trlt.save()
         dota_trlt_sv.save()
         logging.info("saved dota translation")

@@ -1,0 +1,99 @@
+"""Cell-parallel sampler: finds objects, stays on-detection, and its
+equilibrium matches the sequential sampler's on the same posterior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpp_cnn_rs_object_detection_tpu.mpp import combinators as comb_lib
+from mpp_cnn_rs_object_detection_tpu.mpp.energies import (
+    LEGACY_SPEC,
+    make_energy_maps,
+)
+from mpp_cnn_rs_object_detection_tpu.mpp.kernels import make_kernel_data
+from mpp_cnn_rs_object_detection_tpu.mpp.parallel_sampler import (
+    run_parallel_chain,
+)
+from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import run_chain
+from mpp_cnn_rs_object_detection_tpu.mpp.state import (
+    empty_state,
+    state_to_arrays,
+)
+from mpp_cnn_rs_object_detection_tpu.ops.mappings import default_mappings
+
+H = W = 160
+C = 8
+
+
+def _setup():
+    mappings = default_mappings(n_classes=C, size_min=0, size_max=16)
+    centers = [(30, 30), (30, 120), (100, 60), (130, 130), (70, 100)]
+    gy, gx = np.mgrid[:H, :W]
+    det = np.zeros((H, W))
+    for c in centers:
+        det += np.exp(-((gy - c[0]) ** 2 + (gx - c[1]) ** 2) / (2 * 2.0**2))
+    det = np.clip(det, 0, 1)
+    dist = np.full((H, W, C), 1.0 / C, np.float32)
+    dist[..., 3] = 3.0 / C
+    dist /= dist.sum(-1, keepdims=True)
+    maps = make_energy_maps(det, [-dist] * 3, 0.5, 4.0, 200.0, mappings)
+    kd = make_kernel_data(det, [dist] * 3, mappings, intensity=5.0)
+    comb = comb_lib.manual_hierarchical(
+        LEGACY_SPEC.names,
+        {
+            "PositionEnergy": 1.0,
+            "ShapeEnergy": 0.25,
+            "RectangleOverlapEnergy": 0.75,
+            "ShapeAlignmentEnergy": 0.1,
+            "AreaPriorEnergy": 0.25,
+        },
+    )
+    return maps, kd, comb, det, centers
+
+
+def test_parallel_chain_finds_objects():
+    maps, kd, comb, det, centers = _setup()
+    final, stats = run_parallel_chain(
+        jax.random.PRNGKey(0), empty_state(32), maps, LEGACY_SPEC, comb, kd,
+        n_supersteps=800, alpha_t=0.994,
+    )
+    n = int(final.n_points)
+    assert n >= 3, f"parallel sampler found only {n} points"
+    assert float(stats.final_energy) < -1.0
+    xy, _ = state_to_arrays(final)
+    on_blob = sum(det[int(p[0]), int(p[1])] > 0.3 for p in xy)
+    assert on_blob >= n - 1, f"{on_blob}/{n} points on detections"
+
+
+def test_parallel_energy_bookkeeping_consistent():
+    """The incrementally-tracked energy must equal a fresh recompute."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.energies import total_energy
+
+    maps, kd, comb, det, centers = _setup()
+    final, stats = run_parallel_chain(
+        jax.random.PRNGKey(1), empty_state(32), maps, LEGACY_SPEC, comb, kd,
+        n_supersteps=300, alpha_t=0.99,
+    )
+    u_fresh = float(total_energy(final, maps, LEGACY_SPEC, comb))
+    np.testing.assert_allclose(
+        float(stats.final_energy), u_fresh, rtol=1e-3, atol=1e-3
+    )
+
+
+def test_parallel_matches_sequential_equilibrium():
+    """Both samplers annealed on the same posterior should land at similar
+    energies / point counts (statistical parity, SURVEY.md §7.3)."""
+    maps, kd, comb, det, centers = _setup()
+    seq_final, seq_stats = run_chain(
+        jax.random.PRNGKey(2), empty_state(32), maps, LEGACY_SPEC, comb, kd,
+        n_steps=6000, alpha_t=0.9992,
+    )
+    par_final, par_stats = run_parallel_chain(
+        jax.random.PRNGKey(3), empty_state(32), maps, LEGACY_SPEC, comb, kd,
+        n_supersteps=1500, alpha_t=0.9968,
+    )
+    e_seq = float(seq_stats.final_energy)
+    e_par = float(par_stats.final_energy)
+    assert e_par < 0 and e_seq < 0
+    # same order of magnitude of fit quality (both find the 5 objects)
+    assert abs(int(seq_final.n_points) - int(par_final.n_points)) <= 2
