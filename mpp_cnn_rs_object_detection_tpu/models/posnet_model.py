@@ -31,10 +31,13 @@ from mpp_cnn_rs_object_detection_tpu.models.train_utils import (
     TrainState,
     latest_checkpoint,
     load_checkpoint,
+    make_eval_epoch_fn,
     make_eval_step,
+    make_train_epoch_fn,
     make_train_step,
     mean_metrics,
     save_checkpoint,
+    stack_batches,
     update_metrics,
 )
 from mpp_cnn_rs_object_detection_tpu.models.unet import DivClassifier, PosNet
@@ -171,22 +174,25 @@ class PosNetModel(BaseModel, PatchBasedTrainer):
 
         self.train_step = make_train_step(apply_loss, self.tx)
         self.eval_step = make_eval_step(apply_loss)
+        self.train_epoch_fn = make_train_epoch_fn(apply_loss, self.tx)
+        self.eval_epoch_fn = make_eval_epoch_fn(apply_loss)
 
     # ------------------------------------------------------------------ train
 
     def train_epoch(self, loader):
-        agg = None
-        for x, y in loader:
-            self.state, metrics = self.train_step(self.state, (x, y))
-            agg = update_metrics(metrics, agg)
-        return agg
+        # one device dispatch per epoch: scan over stacked batches
+        batches = stack_batches(loader)
+        if batches is None:
+            return {"loss": [0.0]}
+        self.state, metrics = self.train_epoch_fn(self.state, batches)
+        return {k: list(np.asarray(v)) for k, v in metrics.items()}
 
     def val_epoch(self, loader):
-        agg = None
-        for x, y in loader:
-            metrics = self.eval_step(self.state, (x, y))
-            agg = update_metrics(metrics, agg)
-        return agg
+        batches = stack_batches(loader)
+        if batches is None:
+            return {"loss": [0.0]}
+        metrics = self.eval_epoch_fn(self.state, batches)
+        return {k: list(np.asarray(v)) for k, v in metrics.items()}
 
     def train(self):
         rescale_fac = 1 / 8

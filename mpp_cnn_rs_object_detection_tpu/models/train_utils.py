@@ -97,6 +97,70 @@ def make_train_step(apply_loss: Callable, tx: optax.GradientTransformation,
     return step
 
 
+def make_train_epoch_fn(apply_loss: Callable, tx: optax.GradientTransformation):
+    """One-dispatch epoch: ``lax.scan`` over stacked batches on device.
+
+    Under a tunneled TPU every dispatch costs seconds of latency; scanning the
+    whole epoch in one jitted call reduces an epoch from ~100 round-trips to 1
+    (batches: a pytree stacked along a leading n_batches axis)."""
+
+    @jax.jit
+    def epoch(state: TrainState, batches):
+        def body(st, batch):
+            def loss_fn(params):
+                return apply_loss(params, st.batch_stats, batch, True)
+
+            grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
+                st.params
+            )
+            updates, new_opt_state = tx.update(grads, st.opt_state, st.params)
+            return (
+                st.replace(
+                    step=st.step + 1,
+                    params=optax.apply_updates(st.params, updates),
+                    opt_state=new_opt_state,
+                    batch_stats=new_stats,
+                ),
+                metrics,
+            )
+
+        return jax.lax.scan(body, state, batches)
+
+    return epoch
+
+
+def make_eval_epoch_fn(apply_loss: Callable):
+    @jax.jit
+    def epoch(state: TrainState, batches):
+        def body(_, batch):
+            _, (metrics, _) = apply_loss(
+                state.params, state.batch_stats, batch, False
+            )
+            return None, metrics
+
+        _, metrics = jax.lax.scan(body, None, batches)
+        return metrics
+
+    return epoch
+
+
+def stack_batches(loader) -> Optional[tuple]:
+    """Materialise a loader's batches and stack along a leading axis."""
+    items = list(loader)
+    if not items:
+        return None
+    xs = np.stack([b[0] for b in items])
+    ys = {}
+    for k, v0 in items[0][1].items():
+        if isinstance(v0, list):
+            ys[k] = [
+                np.stack([b[1][k][i] for b in items]) for i in range(len(v0))
+            ]
+        else:
+            ys[k] = np.stack([b[1][k] for b in items])
+    return xs, ys
+
+
 def make_eval_step(apply_loss: Callable):
     @jax.jit
     def step(state: TrainState, batch):
