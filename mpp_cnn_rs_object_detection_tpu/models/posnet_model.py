@@ -303,6 +303,20 @@ class PosNetModel(BaseModel, PatchBasedTrainer):
             if skip_sigmoid:
                 return np.asarray(score)
             return np.asarray(jax.nn.sigmoid(score))
+        if jax.default_backend() == "tpu":
+            from mpp_cnn_rs_object_detection_tpu.ops.pallas_kernels import (
+                detection_map_fused,
+            )
+
+            try:
+                return np.asarray(
+                    detection_map_fused(
+                        jnp.asarray(vector_map), jnp.asarray(mask),
+                        mask_is_logit=False,
+                    )
+                )
+            except Exception as e:  # pragma: no cover - pallas unavailable
+                logging.warning(f"pallas detection kernel failed ({e}); jnp path")
         div = np.asarray(
             divergence_map_from_vector_field(jnp.asarray(vector_map), normalize=True)
         )

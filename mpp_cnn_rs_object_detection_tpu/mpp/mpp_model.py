@@ -299,6 +299,7 @@ class MPPModel(BaseModel):
                 seed=patch_id,
                 patch_size=self.patch_size,
                 capacity=self.capacity,
+                sampler=self.config["inference"].get("sampler", "sequential"),
             )
 
             pred_params = np.array(

@@ -91,7 +91,8 @@ def _stack_states(states: List[PointsState]) -> PointsState:
 def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                      params: RJMCMCParams, seed: int = 0, patch_size: int = 256,
                      min_overlap: int = 32, capacity: int = 256,
-                     init: str = "naive", kernel_weights=None) -> SceneResult:
+                     init: str = "naive", kernel_weights=None,
+                     sampler: str = "sequential") -> SceneResult:
     """Full-scene MPP inference (reference ``mpp_model.py:202-321`` infer body)."""
     data = pad_image_w_maps(data, patch_size)
     patches = split_image(data, patch_size, min_overlap)
@@ -123,14 +124,37 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     alpha = params.resolved_alpha()
     spec = setup.spec
 
-    def one_tile(key, st, maps, kd):
-        final, stats = run_chain(
-            key, st, maps, spec, comb, kd,
-            n_steps=params.total_steps, t0=params.t0,
-            alpha_t=alpha, t_target=params.t_target,
+    if sampler == "parallel":
+        # cell-parallel supersteps: same move budget in far fewer device
+        # steps (each superstep proposes ~(patch/(2*CELL)+1)^2 moves)
+        from mpp_cnn_rs_object_detection_tpu.mpp.parallel_sampler import (
+            CELL,
+            run_parallel_chain,
         )
-        scores = papangelou(final, maps, spec, comb)
-        return final, scores, stats
+
+        moves_per_superstep = max(1, (patch_size // (2 * CELL) + 1) ** 2 // 2)
+        n_super = max(1, params.total_steps // moves_per_superstep)
+        alpha_super = float(np.power(alpha, moves_per_superstep))
+
+        def one_tile(key, st, maps, kd):
+            final, stats = run_parallel_chain(
+                key, st, maps, spec, comb, kd,
+                n_supersteps=n_super, t0=params.t0,
+                alpha_t=alpha_super, t_target=params.t_target,
+            )
+            scores = papangelou(final, maps, spec, comb)
+            return final, scores, stats
+
+    else:
+
+        def one_tile(key, st, maps, kd):
+            final, stats = run_chain(
+                key, st, maps, spec, comb, kd,
+                n_steps=params.total_steps, t0=params.t0,
+                alpha_t=alpha, t_target=params.t_target,
+            )
+            scores = papangelou(final, maps, spec, comb)
+            return final, scores, stats
 
     finals, scores_b, stats = jax.vmap(one_tile)(keys, init_b, maps_b, kd_b)
 
