@@ -19,7 +19,8 @@ import sys
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="TPU-native MPP+CNN detector")
     parser.add_argument("-m", "--model", type=str, required=False,
-                        choices=["posnet", "shapenet", "mpp", "oracle", "fasterrcnn"])
+                        choices=["posnet", "shapenet", "mpp", "oracle",
+                                 "fasterrcnn", "bbavec"])
     parser.add_argument("-p", "--procedure", type=str, required=True,
                         choices=["train", "infer", "eval", "infereval",
                                  "data_preview", "translate_dota",
@@ -103,6 +104,15 @@ def main(argv=None):
         from mpp_cnn_rs_object_detection_tpu.models.oracle_model import OracleModel
 
         model = OracleModel(config, overwrite=args.overwrite, dataset=args.dataset)
+    elif args.model in ("fasterrcnn", "bbavec"):
+        from mpp_cnn_rs_object_detection_tpu.models.fasterrcnn_model import (
+            BBAVecModel,
+            FasterRCNNModel,
+        )
+
+        cls = FasterRCNNModel if args.model == "fasterrcnn" else BBAVecModel
+        model = cls(config, overwrite=args.overwrite, load=load,
+                    train=train, dataset=args.dataset)
     else:
         raise NotImplementedError(args.model)
 

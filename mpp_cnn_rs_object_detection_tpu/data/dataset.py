@@ -95,7 +95,8 @@ class ImageDataset:
     """One file = one item; supports patch-set regeneration via ``update_files``."""
 
     def __init__(self, dataset: str, subset: str, rng: Optional[np.random.Generator],
-                 label_processor: LabelProcessor, augmenter=None, rgb: bool = True):
+                 label_processor: LabelProcessor, augmenter=None, rgb: bool = True,
+                 cache: bool = True):
         self.dataset = dataset
         self.subset = subset
         self.paths = fetch_data_paths(self.dataset, self.subset, metadata=False)
@@ -103,16 +104,30 @@ class ImageDataset:
         self.augmenter = augmenter
         self.rgb = rgb
         self.label_processor = label_processor
+        # PNG decode dominates per-item cost (~15 ms vs ~7 ms for
+        # augment+labels); cache decoded patches between epochs (cleared when
+        # the patch set regenerates)
+        self.cache_enabled = cache
+        self._cache = {}
 
     def update_files(self):
         self.paths = fetch_data_paths(self.dataset, self.subset, metadata=False)
+        self._cache.clear()
 
     def __len__(self):
         return len(self.paths["images"])
 
-    def __getitem__(self, item):
+    def _load_raw(self, item):
+        if self.cache_enabled and item in self._cache:
+            return self._cache[item]
         patch = load_image(self.paths["images"][item])
         labels_dict = load_annotation(self.paths["annotations"][item])
+        if self.cache_enabled:
+            self._cache[item] = (patch, labels_dict)
+        return patch, labels_dict
+
+    def __getitem__(self, item):
+        patch, labels_dict = self._load_raw(item)
         centers, params = labels_dict["centers"], labels_dict["parameters"]
 
         if self.augmenter is not None:

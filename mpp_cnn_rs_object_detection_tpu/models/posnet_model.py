@@ -88,9 +88,15 @@ class PosNetModel(BaseModel, PatchBasedTrainer):
         self.use_div_clf = bool(self.config.get("div_clf_model"))
         self.depth = len(self.config["model"]["hidden_dims"]) - 1
 
+        net_dtype = (
+            jnp.bfloat16
+            if self.config["model"].get("dtype", "bfloat16") == "bfloat16"
+            else jnp.float32
+        )
         self.net = PosNet(
             hidden_dims=self.config["model"]["hidden_dims"],
             out_channels=3 if self.learn_mask else 2,
+            dtype=net_dtype,
         )
         self.div_clf = DivClassifier() if self.use_div_clf else None
 

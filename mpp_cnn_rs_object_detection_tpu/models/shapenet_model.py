@@ -79,10 +79,16 @@ class ShapeNetModel(BaseModel, PatchBasedTrainer):
             size_max=map_cfg.get("size_mapping_max", 32.0),
         )
 
+        net_dtype = (
+            jnp.bfloat16
+            if self.config["model"].get("dtype", "bfloat16") == "bfloat16"
+            else jnp.float32
+        )
         self.net = ShapeNet(
             hidden_dims=self.config["model"]["hidden_dims"],
             out_features=3,
             n_classes=self.n_classes,
+            dtype=net_dtype,
         )
         key = jax.random.PRNGKey(0)
         variables = self.net.init(key, jnp.zeros((1, 64, 64, 3)), train=False)
