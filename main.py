@@ -24,7 +24,7 @@ def parse_args(argv=None):
     parser.add_argument("-p", "--procedure", type=str, required=True,
                         choices=["train", "infer", "eval", "infereval",
                                  "data_preview", "translate_dota",
-                                 "translate_cowc", "make_synth"])
+                                 "translate_cowc", "make_synth", "check_div"])
     parser.add_argument("-c", "--config", type=str, required=False,
                         help="config file path, config name, or saved model name")
     parser.add_argument("-d", "--dataset", type=str, default=None,
@@ -67,6 +67,46 @@ def main(argv=None):
         from mpp_cnn_rs_object_detection_tpu.data.translate_cowc import translate_cowc
 
         translate_cowc(load_config(args))
+        return
+    if args.procedure == "check_div":
+        # divergence implementation cross-check (reference main.py check_div /
+        # models/position_net/check_div.py): numpy vs jnp vs pallas kernel
+        import numpy as np
+
+        from mpp_cnn_rs_object_detection_tpu.ops.divergence import (
+            divergence_map_from_vector_field,
+        )
+        from mpp_cnn_rs_object_detection_tpu.ops.pallas_kernels import (
+            detection_map_fused,
+            detection_map_reference,
+        )
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        vec = rng.normal(size=(128, 128, 2)).astype(np.float32)
+        mask = rng.normal(size=(128, 128)).astype(np.float32)
+        d_np = np.gradient(
+            vec[..., 0] / (np.linalg.norm(vec, axis=-1) + 1e-30),
+            np.linspace(0, 128, 128), axis=0,
+        ) + np.gradient(
+            vec[..., 1] / (np.linalg.norm(vec, axis=-1) + 1e-30),
+            np.linspace(0, 128, 128), axis=1,
+        )
+        d_jnp = np.asarray(
+            divergence_map_from_vector_field(jnp.asarray(vec), normalize=True)
+        )
+        err = np.abs(d_np - d_jnp).max()
+        print(f"numpy vs jnp divergence: max |err| = {err:.2e}")
+        ref = np.asarray(detection_map_reference(jnp.asarray(vec), jnp.asarray(mask)))
+        import jax as _jax
+
+        fused = np.asarray(
+            detection_map_fused(
+                jnp.asarray(vec), jnp.asarray(mask),
+                interpret=_jax.default_backend() != "tpu",
+            )
+        )
+        print(f"jnp vs pallas detection map: max |err| = {np.abs(ref - fused).max():.2e}")
         return
     if args.procedure == "make_synth":
         from mpp_cnn_rs_object_detection_tpu.data.synth import make_synth_dataset
