@@ -45,22 +45,32 @@ def nms(bounding_boxes, confidence_score, threshold, return_index=False):
 
 def nms_distance(centers, confidence_score, threshold, return_index=False):
     """Greedy NMS keeping the highest-score center and dropping any other
-    center closer than ``threshold`` (reference ``utils/nms.py:68-109``)."""
+    center closer than ``threshold`` (reference ``utils/nms.py:68-109``).
+
+    KD-tree accelerated: the reference's O(n^2) greedy loop takes minutes on
+    the dense candidate sets a low min_confidence produces (it even warns
+    about it, ``pos_net_model.py:380-385``); radius queries make it
+    ~O(n log n) with identical results."""
     if len(centers) == 0:
         return ([], [], []) if return_index else ([], [])
 
+    from scipy.spatial import cKDTree
+
     centers = np.asarray(centers)
     score = np.asarray(confidence_score, dtype=np.float64)
-
-    order = np.argsort(score)
+    tree = cKDTree(centers.astype(np.float64))
+    order = np.argsort(-score, kind="stable")
+    suppressed = np.zeros(len(centers), dtype=bool)
     picked_centers, picked_score, picked_index = [], [], []
-    while order.size > 0:
-        index = order[-1]
-        picked_index.append(index)
+    for index in order:
+        if suppressed[index]:
+            continue
+        picked_index.append(int(index))
         picked_centers.append(centers[index])
         picked_score.append(confidence_score[index])
-        dist = np.linalg.norm(centers[index] - centers[order[:-1]], axis=-1)
-        order = order[np.where(dist > threshold)]
+        # strictly-greater threshold: drop neighbors with dist <= threshold
+        for j in tree.query_ball_point(centers[index], r=threshold):
+            suppressed[j] = True
 
     if return_index:
         return picked_centers, picked_score, picked_index
