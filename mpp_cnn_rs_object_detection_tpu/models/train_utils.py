@@ -13,7 +13,6 @@ from __future__ import annotations
 import glob
 import os
 import re
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional
 
 import flax

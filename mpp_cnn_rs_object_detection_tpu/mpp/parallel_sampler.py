@@ -28,7 +28,6 @@ from __future__ import annotations
 from functools import partial
 from typing import Tuple
 
-import flax
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -30,7 +30,6 @@ from mpp_cnn_rs_object_detection_tpu.mpp.energies import (
 )
 from mpp_cnn_rs_object_detection_tpu.mpp.kernels import (
     KernelData,
-    Proposal,
     apply_proposal,
     sample_proposal,
 )

@@ -9,11 +9,12 @@ border pair-energies) are EXACT at shard boundaries — no stitching heuristic.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
+
+
 def shard_map(f, mesh, in_specs, out_specs, **_ignored):
     """jax.shard_map wrapper tolerant to the check_rep->check_vma rename."""
     try:
