@@ -40,7 +40,7 @@ from mpp_cnn_rs_object_detection_tpu.models.train_utils import (
     save_checkpoint,
     stack_batches,
 )
-from mpp_cnn_rs_object_detection_tpu.ops.geometry import rect_to_poly
+from mpp_cnn_rs_object_detection_tpu.ops.geometry import rect_to_poly_np
 from mpp_cnn_rs_object_detection_tpu.ops.nms import nms, nms_distance
 from mpp_cnn_rs_object_detection_tpu.utils.config import (
     fetch_data_paths,
@@ -222,17 +222,9 @@ class _CenterDetectorModel(BaseModel, PatchBasedTrainer):
         if self.ORIENTED:
             a, b = boxes[:, 0], boxes[:, 1]
             angle = 0.5 * np.arctan2(boxes[:, 2], boxes[:, 3]) % np.pi
-            det_poly = np.array(
-                [
-                    np.asarray(rect_to_poly(c, short=ai, long=bi, angle=wi))
-                    for c, ai, bi, wi in zip(centers, a, b, angle)
-                ]
-            ).reshape(-1, 4, 2)
-            gt_poly = np.array(
-                [
-                    np.asarray(rect_to_poly(c, short=p[0], long=p[1], angle=p[2]))
-                    for c, p in zip(gt_centers, gt_params)
-                ]
+            det_poly = rect_to_poly_np(centers, a, b, angle).reshape(-1, 4, 2)
+            gt_poly = rect_to_poly_np(
+                gt_centers, gt_params[:, 0], gt_params[:, 1], gt_params[:, 2]
             ).reshape(-1, 4, 2)
             trlt.add_gt(
                 image_id=patch_id, polygons=gt_poly,

@@ -13,7 +13,7 @@ import numpy as np
 from mpp_cnn_rs_object_detection_tpu.metrics.dota_eval import dota_eval
 from mpp_cnn_rs_object_detection_tpu.metrics.dota_writer import DOTAResultsTranslator
 from mpp_cnn_rs_object_detection_tpu.models.base import BaseModel
-from mpp_cnn_rs_object_detection_tpu.ops.geometry import rect_to_poly
+from mpp_cnn_rs_object_detection_tpu.ops.geometry import rect_to_poly_np
 from mpp_cnn_rs_object_detection_tpu.utils.config import (
     fetch_data_paths,
     get_inference_path,
@@ -52,11 +52,8 @@ class OracleModel(BaseModel):
                 labels = pickle.load(f)
             centers = np.asarray(labels["centers"]).reshape(-1, 2)
             params = np.asarray(labels["parameters"]).reshape(-1, 3)
-            gt_as_poly = np.array(
-                [
-                    np.asarray(rect_to_poly(c, short=p[0], long=p[1], angle=p[2]))
-                    for c, p in zip(centers, params)
-                ]
+            gt_as_poly = rect_to_poly_np(
+                centers, params[:, 0], params[:, 1], params[:, 2]
             )
             scores = [1.0] * len(gt_as_poly)
             dota_trlt.add_gt(

@@ -41,7 +41,10 @@ from mpp_cnn_rs_object_detection_tpu.models.train_utils import (
 )
 from mpp_cnn_rs_object_detection_tpu.models.unet import ShapeNet
 from mpp_cnn_rs_object_detection_tpu.models.losses import pixel_ce_loss
-from mpp_cnn_rs_object_detection_tpu.ops.geometry import rect_to_poly, sra_to_wla
+from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
+    rect_to_poly_np,
+    sra_to_wla,
+)
 from mpp_cnn_rs_object_detection_tpu.ops.mappings import (
     ValueMapping,
     default_mappings,
@@ -302,17 +305,13 @@ class ShapeNetModel(BaseModel, PatchBasedTrainer):
                 pred_params.append(sra_to_wla(*sra))
             pred_params = np.array(pred_params).reshape(-1, 3)
 
-            detection_as_poly = np.array(
-                [
-                    np.asarray(rect_to_poly(c, p[0], p[1], p[2]))
-                    for c, p in zip(pred_centers, pred_params)
-                ]
+            detection_as_poly = rect_to_poly_np(
+                pred_centers, pred_params[:, 0], pred_params[:, 1],
+                pred_params[:, 2],
             )
-            gt_as_poly = np.array(
-                [
-                    np.asarray(rect_to_poly(c, short=p[0], long=p[1], angle=p[2]))
-                    for c, p in zip(centers, params)
-                ]
+            params = np.asarray(params).reshape(-1, 3)
+            gt_as_poly = rect_to_poly_np(
+                centers, params[:, 0], params[:, 1], params[:, 2]
             )
             dota_trlt.add_gt(
                 image_id=patch_id,

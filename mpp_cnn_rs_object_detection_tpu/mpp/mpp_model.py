@@ -33,7 +33,10 @@ from mpp_cnn_rs_object_detection_tpu.mpp.image_data import (
 )
 from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import RJMCMCParams
 from mpp_cnn_rs_object_detection_tpu.mpp.scene import run_mpp_on_scene
-from mpp_cnn_rs_object_detection_tpu.ops.geometry import rect_to_poly, sra_to_wla
+from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
+    rect_to_poly_np,
+    sra_to_wla,
+)
 from mpp_cnn_rs_object_detection_tpu.utils.config import (
     fetch_data_paths,
     get_inference_path,
@@ -302,29 +305,21 @@ class MPPModel(BaseModel):
                 sampler=self.config["inference"].get("sampler", "sequential"),
             )
 
-            pred_params = np.array(
-                [
-                    sra_to_wla(m[0], m[1], m[2])
-                    for m in result.marks
-                ]
-            ).reshape(-1, 3)
-            detection_as_poly = np.array(
-                [
-                    np.asarray(rect_to_poly(c, p[0], p[1], p[2]))
-                    for c, p in zip(result.centers, pred_params)
-                ]
+            marks = np.asarray(result.marks).reshape(-1, 3)
+            b_long = 2.0 * marks[:, 0] / (1.0 + marks[:, 1])
+            pred_params = np.stack(
+                [b_long * marks[:, 1], b_long, marks[:, 2]], axis=-1
+            )
+            detection_as_poly = rect_to_poly_np(
+                result.centers, pred_params[:, 0], pred_params[:, 1],
+                pred_params[:, 2],
             )
             centers = np.asarray(data.labels["centers"]).reshape(-1, 2)
             gt_params = np.asarray(data.labels["parameters"]).reshape(-1, 3)
             difficulty = np.asarray(data.labels["difficult"]).reshape(-1)
             categories = np.asarray(data.labels["categories"]).reshape(-1)
-            gt_as_poly = np.array(
-                [
-                    np.asarray(
-                        rect_to_poly(c, short=p[0], long=p[1], angle=p[2])
-                    )
-                    for c, p in zip(centers, gt_params)
-                ]
+            gt_as_poly = rect_to_poly_np(
+                centers, gt_params[:, 0], gt_params[:, 1], gt_params[:, 2]
             )
             dota_trlt.add_gt(
                 image_id=patch_id, polygons=gt_as_poly, difficulty=difficulty,

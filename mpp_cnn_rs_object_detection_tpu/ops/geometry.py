@@ -75,6 +75,27 @@ def marks_to_poly(xy, size, ratio, angle):
     return rect_to_poly(xy, length, width, jnp.asarray(angle) + jnp.pi / 2)
 
 
+def rect_to_poly_np(centers, short, long, angle, dilation: float = 0.0
+                    ) -> np.ndarray:
+    """Host/numpy batched ``rect_to_poly``: (N,2)+(N,)x3 -> (N,4,2).
+
+    Export paths build one polygon per detection; a jnp call each would cost a
+    device dispatch per object (seconds over a tunneled TPU) — this stays on
+    the host."""
+    centers = np.asarray(centers, np.float64).reshape(-1, 2)
+    short = np.broadcast_to(np.asarray(short, np.float64), (len(centers),))
+    long = np.broadcast_to(np.asarray(long, np.float64), (len(centers),))
+    angle = np.broadcast_to(np.asarray(angle, np.float64), (len(centers),))
+    hx = short / 2.0 + dilation
+    hy = long / 2.0 + dilation
+    sx = np.stack([hx, hx, -hx, -hx], axis=-1)
+    sy = np.stack([hy, -hy, -hy, hy], axis=-1)
+    cos, sin = np.cos(angle), np.sin(angle)
+    px = sx * cos[:, None] - sy * sin[:, None]
+    py = sx * sin[:, None] + sy * cos[:, None]
+    return np.stack([px, py], axis=-1) + centers[:, None, :]
+
+
 def wla_to_sra(a, b, angle):
     """(short, long, angle) -> (size, ratio, angle); reference ``rectangle.py:103``."""
     return (a + b) / 2.0, a / b, angle

@@ -14,7 +14,10 @@ from typing import List, Optional, Sequence, Tuple, Union
 import cv2
 import numpy as np
 
-from mpp_cnn_rs_object_detection_tpu.ops.geometry import rect_to_poly, sra_to_wla
+from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
+    rect_to_poly_np,
+    sra_to_wla,
+)
 
 
 def _to_u8(image: np.ndarray) -> np.ndarray:
@@ -78,12 +81,13 @@ def rectangles_over_image(image: np.ndarray, centers: np.ndarray,
         if max(cc, default=0) <= 1:
             cc = tuple(int(255 * c) for c in cc)
         colors = [cc] * len(centers)
-    for c, p, col in zip(centers, params, colors):
-        if param_type == "sra":
-            a, b, w = sra_to_wla(p[0], p[1], p[2])
-        else:
-            a, b, w = p
-        poly = np.asarray(rect_to_poly(c, short=a, long=b, angle=w))
+    if param_type == "sra":
+        b_long = 2.0 * params[:, 0] / (1.0 + params[:, 1])
+        wla = np.stack([b_long * params[:, 1], b_long, params[:, 2]], axis=-1)
+    else:
+        wla = params
+    polys = rect_to_poly_np(centers, wla[:, 0], wla[:, 1], wla[:, 2])
+    for poly, col in zip(polys, colors):
         # poly is (4, 2) in (row, col); cv2 wants (x=col, y=row)
         pts = np.flip(poly, axis=-1).astype(np.int32).reshape(-1, 1, 2)
         cv2.polylines(img, [pts], isClosed=True, color=col, thickness=thickness)
