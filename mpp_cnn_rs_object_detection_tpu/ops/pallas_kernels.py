@@ -68,6 +68,17 @@ def detection_map_fused(vec: jnp.ndarray, mask_logit: jnp.ndarray,
     to tiling in future rounds if scenes outgrow VMEM.
     """
     h, w = mask_logit.shape
+    # whole-array blocks must fit VMEM (~16 MB): 3 f32 inputs + output +
+    # temporaries. Beyond that, use the XLA composition — exceeding VMEM
+    # faults the TPU worker process.
+    if h * w > 512 * 512 and not interpret:
+        from mpp_cnn_rs_object_detection_tpu.ops.divergence import (
+            divergence_map_from_vector_field,
+        )
+
+        div = divergence_map_from_vector_field(vec, normalize=True)
+        m = jax.nn.sigmoid(mask_logit) if mask_is_logit else mask_logit
+        return jnp.clip(-div / 2.0, 0.0, 1.0) * m
     # reference spacing quirk: size/(size-1) on both axes (math_utils.py:29-42)
     inv_spacing = (h - 1.0) / h
     kwargs = dict(memory_space=_VMEM) if (_VMEM is not None and not interpret) else {}
