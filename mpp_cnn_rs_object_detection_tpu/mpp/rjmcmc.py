@@ -335,21 +335,109 @@ def run_chains_batch(key, init_states: PointsState, maps: EnergyMaps,
     )(keys, init_states)
 
 
+@partial(jax.jit, static_argnames=("spec",))
 def papangelou(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
                comb: EnergyCombiner) -> Array:
-    """Per-slot papangelou intensity exp(-ΔU of toggling the point).
+    """Per-slot papangelou intensity exp(-(U(x) - U(x \\ u))) — the detection
+    confidence (reference ``energy_point_set.py:102-116``, ``mpp_model.py:303``).
 
-    For an alive point u: exp(-(U(x) - U(x \\ u))) — the detection confidence
-    score used at merge/export time (reference
-    ``point_set/energy_point_set.py:helpers`` ``papangelou`` and
-    ``mpp_model.py:303``). Dead slots get 0.
+    Removing u only changes a neighbor i's reduced pair term when u was its
+    arg-extremum, so per-row TOP-2 statistics give every leave-one-out energy
+    vector in O(K^2) total — a naive vmap of full recomputes materialises
+    O(K^3) intermediates and OOMs scene-level configurations.
     """
-    base = total_energy(state, maps, spec, comb)
+    from mpp_cnn_rs_object_detection_tpu.mpp.combinators import combine as _combine
+    from mpp_cnn_rs_object_detection_tpu.mpp.energies import data_columns
+    from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
+        convex_quad_intersection_area,
+        marks_to_poly,
+        rect_area,
+    )
 
-    def energy_without(slot):
-        removed = state.replace(alive=state.alive.at[slot].set(False))
-        return total_energy(removed, maps, spec, comb)
+    k = state.capacity
+    eye = jnp.eye(k, dtype=bool)
+    alive_pair = state.alive[:, None] & state.alive[None, :] & ~eye
+    diff = state.xy[:, None, :] - state.xy[None, :, :]
+    dist = jnp.linalg.norm(diff, axis=-1)
 
-    u_without = jax.vmap(energy_without)(jnp.arange(state.capacity))
-    delta = base - u_without  # energy contribution of each point
+    polys = marks_to_poly(
+        state.xy, state.marks[:, 0], state.marks[:, 1], state.marks[:, 2]
+    )
+    areas = rect_area(state.marks[:, 0], state.marks[:, 1])
+    # row-chunked pairwise intersections: a flat (K, K) vmap materialises
+    # (K, K, ...) clipping temporaries, which OOMs HBM for scene-level K
+    chunk = 128
+    pad = (-k) % chunk
+    polys_p = jnp.pad(polys, ((0, pad), (0, 0), (0, 0)))
+    rows = polys_p.reshape(-1, chunk, 4, 2)
+
+    def row_block(block):
+        return jax.vmap(
+            lambda pa: jax.vmap(
+                lambda pb: convex_quad_intersection_area(pa, pb)
+            )(polys)
+        )(block)
+
+    inter = jax.lax.map(row_block, rows).reshape(-1, k)[:k]
+    overlap = inter / (jnp.minimum(areas[:, None], areas[None, :]) + 1e-6)
+    dangle = state.marks[:, None, 2] - state.marks[None, :, 2]
+    align = 1.0 - jnp.abs(jnp.cos(dangle)) - float(spec.rewarding_align)
+
+    def top2(values, mask, take_max: bool):
+        sign = 1.0 if take_max else -1.0
+        v = jnp.where(mask, sign * values, -jnp.inf)
+        t1 = jnp.max(v, axis=1)
+        a1 = jnp.argmax(v, axis=1)
+        v2 = v.at[jnp.arange(k), a1].set(-jnp.inf)
+        t2 = jnp.max(v2, axis=1)
+        return sign * t1, a1, sign * t2
+
+    ov_mask = alive_pair & (dist <= spec.overlap_max_dist)
+    al_mask = alive_pair & (dist <= spec.align_max_dist)
+    ov_n = jnp.sum(ov_mask, axis=1)
+    al_n = jnp.sum(al_mask, axis=1)
+    ov1, ov_arg, ov2 = top2(overlap, ov_mask, take_max=True)
+    al1, al_arg, al2 = top2(align, al_mask, take_max=not spec.rewarding_align)
+
+    ov_red = jnp.where(ov_n > 0, ov1, 0.0)
+    al_red = jnp.where(al_n > 0, al1, 0.0)
+
+    # unary columns (shared between x and all leave-one-out configs)
+    dcols = data_columns(state, maps, spec)
+    area = rect_area(state.marks[:, 0], state.marks[:, 1])
+    area_prior = jnp.maximum(
+        0.0, jnp.maximum(maps.min_area - area, area - maps.max_area)
+    )
+
+    def vec_of(ov_col, al_col):
+        cols = list(dcols) + [ov_col, al_col, area_prior]
+        if spec.use_ratio_prior:
+            cols.append(jnp.abs(maps.target_ratio - state.marks[:, 1]))
+        return jnp.stack(cols, axis=-1)
+
+    base_vec = jnp.where(state.alive[:, None], vec_of(ov_red, al_red), 0.0)
+    base_pp = jnp.where(state.alive, _combine(comb, base_vec), 0.0)  # (K,)
+    base_total = jnp.sum(base_pp)
+
+    # leave-one-out reduced terms: (K_removed, K_row) matrices from top-2
+    rm = jnp.arange(k)
+    ov_without = jnp.where(
+        ov_arg[None, :] == rm[:, None],
+        jnp.where(ov_n[None, :] > 1, ov2[None, :], 0.0),
+        ov_red[None, :],
+    )
+    al_without = jnp.where(
+        al_arg[None, :] == rm[:, None],
+        jnp.where(al_n[None, :] > 1, al2[None, :], 0.0),
+        al_red[None, :],
+    )
+
+    def energy_without(u):
+        vec = vec_of(ov_without[u], al_without[u])
+        alive_wo = state.alive.at[u].set(False)
+        pp = jnp.where(alive_wo, _combine(comb, vec), 0.0)
+        return jnp.sum(pp)
+
+    u_without = jax.vmap(energy_without)(rm)
+    delta = base_total - u_without
     return jnp.where(state.alive, jnp.exp(-delta), 0.0)
