@@ -147,16 +147,37 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
 
     else:
 
-        def one_tile(key, st, maps, kd):
+        def one_tile(key, st, maps, kd, n_steps, t0):
             final, stats = run_chain(
                 key, st, maps, spec, comb, kd,
-                n_steps=params.total_steps, t0=params.t0,
+                n_steps=n_steps, t0=t0,
                 alpha_t=alpha, t_target=params.t_target,
             )
             scores = papangelou(final, maps, spec, comb)
             return final, scores, stats
 
-    finals, scores_b, stats = jax.vmap(one_tile)(keys, init_b, maps_b, kd_b)
+    if sampler == "parallel":
+        finals, scores_b, stats = jax.vmap(one_tile)(keys, init_b, maps_b, kd_b)
+    else:
+        # segment the annealing schedule: one giant scan x wide tile-vmap
+        # crashes the (experimental) axon TPU worker; several shorter
+        # launches with the temperature threaded through are equivalent.
+        seg = 4096
+        done = 0
+        states = init_b
+        t0 = params.t0
+        scores_b = None
+        while done < params.total_steps:
+            n = min(seg, params.total_steps - done)
+            key_seg = jax.random.split(
+                jax.random.fold_in(jax.random.PRNGKey(seed), done), n_tiles
+            )
+            states, scores_b, stats = jax.vmap(
+                lambda k, st, m, kd_: one_tile(k, st, m, kd_, n, t0)
+            )(key_seg, states, maps_b, kd_b)
+            done += n
+            t0 = max(float(t0 * alpha**n), params.t_target)
+        finals = states
 
     # host-side merge
     centers_list, marks_list, scores_list = [], [], []
