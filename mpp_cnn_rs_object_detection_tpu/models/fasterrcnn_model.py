@@ -139,8 +139,9 @@ class _CenterDetectorModel(BaseModel, PatchBasedTrainer):
                 + " ".join(f"{k}: {x:.4f}" for k, x in v.items())
             )
             self.logger.update_train_val(epoch, t, v)
-            if (epoch + 1) % 4 == 0:
-                save_checkpoint(self.save_path, self.state, epoch + 1)
+            # rolling checkpoint every epoch: wall-clock timeouts on slow
+            # hosts must not lose progress (reference: every 4 epochs)
+            save_checkpoint(self.save_path, self.state, epoch + 1)
             if (
                 epoch % self.dataset_update_interval == 0
                 and epoch != 0

@@ -190,8 +190,9 @@ class ShapeNetModel(BaseModel, PatchBasedTrainer):
                 + " ".join(f"{k}: {v:.4f}" for k, v in val_metrics.items())
             )
             self.logger.update_train_val(epoch, train_metrics, val_metrics)
-            if (epoch + 1) % 4 == 0:
-                save_checkpoint(self.save_path, self.state, epoch + 1)
+            # rolling checkpoint every epoch: wall-clock timeouts on slow
+            # hosts must not lose progress (reference: every 4 epochs)
+            save_checkpoint(self.save_path, self.state, epoch + 1)
             if epoch % self.dataset_update_interval == 0 and epoch != 0:
                 make_patch_dataset(
                     new_dataset=self.temp_dataset,
