@@ -10,6 +10,7 @@ reference's distance dedup (keep max papangelou) and rescored globally.
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -92,8 +93,23 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                      params: RJMCMCParams, seed: int = 0, patch_size: int = 256,
                      min_overlap: int = 32, capacity: int = 256,
                      init: str = "naive", kernel_weights=None,
-                     sampler: str = "sequential") -> SceneResult:
-    """Full-scene MPP inference (reference ``mpp_model.py:202-321`` infer body)."""
+                     sampler: str = "sequential",
+                     checkpoint_path: Optional[str] = None,
+                     segment_size: int = 4096,
+                     max_segments: Optional[int] = None
+                     ) -> Optional[SceneResult]:
+    """Full-scene MPP inference (reference ``mpp_model.py:202-321`` infer body).
+
+    ``checkpoint_path``: optional ``.npz`` the sequential sampler writes after
+    every annealing segment (all tiles' states + temperature + step count) and
+    resumes from if present — the reference's chains are not checkpointable
+    (SURVEY §5); here a killed scene run loses at most one segment
+    (``segment_size`` moves). The file is removed on completion.
+
+    ``max_segments``: fault-injection hook — abort (returning None) after that
+    many annealing segments, as a killed process would; tests resume from the
+    checkpoint left behind.
+    """
     data = pad_image_w_maps(data, patch_size)
     patches = split_image(data, patch_size, min_overlap)
 
@@ -162,11 +178,24 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
         # segment the annealing schedule: one giant scan x wide tile-vmap
         # crashes the (experimental) axon TPU worker; several shorter
         # launches with the temperature threaded through are equivalent.
-        seg = 4096
+        seg = segment_size
         done = 0
+        segments_run = 0
         states = init_b
         t0 = params.t0
         scores_b = None
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            ck = np.load(checkpoint_path)
+            if int(ck["n_tiles"]) == n_tiles and int(ck["seed"]) == seed:
+                states = PointsState(
+                    xy=jnp.asarray(ck["xy"]), marks=jnp.asarray(ck["marks"]),
+                    alive=jnp.asarray(ck["alive"]),
+                )
+                done = int(ck["done"])
+                t0 = float(ck["t0"])
+                logging.info(
+                    f"scene {data.name}: resuming chains at move {done}"
+                )
         while done < params.total_steps:
             n = min(seg, params.total_steps - done)
             key_seg = jax.random.split(
@@ -177,7 +206,23 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
             )(key_seg, states, maps_b, kd_b)
             done += n
             t0 = max(float(t0 * alpha**n), params.t_target)
+            if checkpoint_path and done < params.total_steps:
+                np.savez(
+                    checkpoint_path, xy=np.asarray(states.xy),
+                    marks=np.asarray(states.marks),
+                    alive=np.asarray(states.alive), done=done, t0=t0,
+                    n_tiles=n_tiles, seed=seed,
+                )
+            segments_run += 1
+            if (
+                max_segments is not None
+                and segments_run >= max_segments
+                and done < params.total_steps
+            ):
+                return None  # simulated crash mid-anneal
         finals = states
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            os.remove(checkpoint_path)
 
     # host-side merge
     centers_list, marks_list, scores_list = [], [], []
