@@ -294,6 +294,16 @@ class MPPModel(BaseModel):
                 logging.info(f"{out_pkl} exists, skipping")
                 continue
             data = self._load_image(patch_id, subset)
+            mesh = None
+            if self.config["inference"].get("tile_mesh"):
+                # shard the tile batch over all local devices (multi-chip
+                # tile-data-parallel; no-op win on a single chip)
+                import jax
+                from jax.sharding import Mesh
+
+                devs = jax.devices()
+                if len(devs) > 1:
+                    mesh = Mesh(np.asarray(devs).reshape(-1), ("tiles",))
             result = run_mpp_on_scene(
                 data,
                 self.energy_setup,
@@ -303,6 +313,10 @@ class MPPModel(BaseModel):
                 patch_size=self.patch_size,
                 capacity=self.capacity,
                 sampler=self.config["inference"].get("sampler", "sequential"),
+                checkpoint_path=os.path.join(
+                    results_dir, f"{patch_id:04}_chains.ck.npz"
+                ),
+                mesh=mesh,
             )
 
             marks = np.asarray(result.marks).reshape(-1, 3)

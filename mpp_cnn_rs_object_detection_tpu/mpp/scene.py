@@ -96,8 +96,8 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                      sampler: str = "sequential",
                      checkpoint_path: Optional[str] = None,
                      segment_size: int = 4096,
-                     max_segments: Optional[int] = None
-                     ) -> Optional[SceneResult]:
+                     max_segments: Optional[int] = None,
+                     mesh=None) -> Optional[SceneResult]:
     """Full-scene MPP inference (reference ``mpp_model.py:202-321`` infer body).
 
     ``checkpoint_path``: optional ``.npz`` the sequential sampler writes after
@@ -109,6 +109,13 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     ``max_segments``: fault-injection hook — abort (returning None) after that
     many annealing segments, as a killed process would; tests resume from the
     checkpoint left behind.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — shard the stacked tile batch
+    over its devices (tile-data-parallel, the multi-chip analog of the
+    reference's one-process-per-tile ``Pool.map``). Tiles of one scene are
+    independent chains, so GSPMD partitions the vmapped sampler with zero
+    collectives; the tile axis is padded to a multiple of the mesh size.
+    Results are bit-identical to the unsharded run (same per-tile keys).
     """
     data = pad_image_w_maps(data, patch_size)
     patches = split_image(data, patch_size, min_overlap)
@@ -135,7 +142,32 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     kd_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *kd_list)
     init_b = _stack_states(init_list)
     n_tiles = len(patches)
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_tiles)
+    n_batch = n_tiles
+    put = lambda t: t  # noqa: E731 — identity without a mesh
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_batch = n_tiles + (-n_tiles) % mesh.size
+        if n_batch > n_tiles:
+            pad_n = n_batch - n_tiles
+
+            def dup_last(x):
+                return jnp.concatenate(
+                    [x, jnp.repeat(x[-1:], pad_n, axis=0)], axis=0
+                )
+
+            maps_b = jax.tree_util.tree_map(dup_last, maps_b)
+            kd_b = jax.tree_util.tree_map(dup_last, kd_b)
+            init_b = jax.tree_util.tree_map(dup_last, init_b)
+        sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names))
+
+        def put(t):  # noqa: F811
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), t
+            )
+
+        maps_b, kd_b, init_b = put(maps_b), put(kd_b), put(init_b)
+    keys = put(jax.random.split(jax.random.PRNGKey(seed), n_batch))
 
     alpha = params.resolved_alpha()
     spec = setup.spec
@@ -186,11 +218,16 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
         scores_b = None
         if checkpoint_path and os.path.exists(checkpoint_path):
             ck = np.load(checkpoint_path)
-            if int(ck["n_tiles"]) == n_tiles and int(ck["seed"]) == seed:
-                states = PointsState(
+            if (
+                int(ck["n_tiles"]) == n_tiles
+                and int(ck["seed"]) == seed
+                and ck["xy"].shape[0] == n_batch
+                and int(ck["done"]) < params.total_steps
+            ):
+                states = put(PointsState(
                     xy=jnp.asarray(ck["xy"]), marks=jnp.asarray(ck["marks"]),
                     alive=jnp.asarray(ck["alive"]),
-                )
+                ))
                 done = int(ck["done"])
                 t0 = float(ck["t0"])
                 logging.info(
@@ -198,9 +235,9 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                 )
         while done < params.total_steps:
             n = min(seg, params.total_steps - done)
-            key_seg = jax.random.split(
-                jax.random.fold_in(jax.random.PRNGKey(seed), done), n_tiles
-            )
+            key_seg = put(jax.random.split(
+                jax.random.fold_in(jax.random.PRNGKey(seed), done), n_batch
+            ))
             states, scores_b, stats = jax.vmap(
                 lambda k, st, m, kd_: one_tile(k, st, m, kd_, n, t0)
             )(key_seg, states, maps_b, kd_b)

@@ -124,6 +124,39 @@ def test_export_frames(tmp_path):
     assert len(paths) == 3 and all(os.path.getsize(p) > 0 for p in paths)
 
 
+def test_scene_mesh_sharded_matches_unsharded():
+    """Tile batch sharded over the 8-device mesh must reproduce the
+    single-device result exactly (same per-tile keys; tiles padded to the
+    mesh size are dropped at merge)."""
+    from jax.sharding import Mesh
+
+    from mpp_cnn_rs_object_detection_tpu.mpp.energy_setups import (
+        NoCalibrationEnergySetup,
+    )
+    from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import RJMCMCParams
+    from mpp_cnn_rs_object_detection_tpu.mpp.scene import run_mpp_on_scene
+
+    data = _small_scene()
+    setup = NoCalibrationEnergySetup()
+    setup.calibrate([data], np.random.default_rng(0), save_path="")
+    comb = comb_lib.sum_combiner(setup.spec.names)
+    params = RJMCMCParams(
+        n_steps=120, alpha_t=0.98, n_samples=0, samples_interval=8
+    )
+    common = dict(
+        setup=setup, comb=comb, params=params, seed=9,
+        patch_size=32, min_overlap=8, capacity=8,
+    )
+    base = run_mpp_on_scene(data, **common)
+    assert base.n_tiles > 1  # actually exercises the tile batch
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("tiles",))
+    sharded = run_mpp_on_scene(data, mesh=mesh, **common)
+    np.testing.assert_allclose(sharded.centers, base.centers, atol=1e-5)
+    np.testing.assert_allclose(sharded.scores, base.scores, rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_scene_checkpoint_resume(tmp_path):
     """A run killed mid-anneal resumes from its segment checkpoint and lands
     exactly where the uninterrupted run does (same keys per segment)."""
