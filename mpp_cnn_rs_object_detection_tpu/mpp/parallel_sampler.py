@@ -44,8 +44,6 @@ from mpp_cnn_rs_object_detection_tpu.mpp.kernels import (
 from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import (
     ChainStats,
     EnergyCache,
-    _pair_row,
-    _unary_row,
     build_cache,
     energy_from_cache,
 )
@@ -294,24 +292,9 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
         return (state, cache, energy, temp), stats
 
     def _row_updated(st: PointsState, cache: EnergyCache, slot) -> EnergyCache:
-        from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
-            marks_to_poly,
-            rect_area,
-        )
+        from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import update_cache
 
-        polys = marks_to_poly(
-            st.xy, st.marks[:, 0], st.marks[:, 1], st.marks[:, 2]
-        )
-        areas = rect_area(st.marks[:, 0], st.marks[:, 1])
-        dist_row, ov_row, al_row = _pair_row(st, spec, slot, polys, areas)
-        pos_s, mark_s = _unary_row(st, maps, spec, slot)
-        return EnergyCache(
-            dist=cache.dist.at[slot, :].set(dist_row).at[:, slot].set(dist_row),
-            overlap=cache.overlap.at[slot, :].set(ov_row).at[:, slot].set(ov_row),
-            align=cache.align.at[slot, :].set(al_row).at[:, slot].set(al_row),
-            pos_e=cache.pos_e.at[slot].set(pos_s),
-            mark_e=cache.mark_e.at[slot].set(mark_s),
-        )
+        return update_cache(st, maps, spec, cache, slot)
 
     return step
 

@@ -81,6 +81,8 @@ class EnergyCache:
     align: Array    # (K, K) 1 - |cos dangle| - rewarding
     pos_e: Array    # (K,) position energy
     mark_e: Array   # (K, 3) per-mark energy map gathers
+    polys: Array    # (K, 4, 2) rectangle corners (stale at dead slots — masked)
+    areas: Array    # (K,) rectangle areas
 
 
 def _pair_row(state: PointsState, spec: EnergySpec, slot: Array,
@@ -175,22 +177,31 @@ def build_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec
         pos_e = data_columns(state, maps, spec)[0]
         mark_e = jnp.zeros((state.capacity, 3), jnp.float32)
     return EnergyCache(
-        dist=dist, overlap=overlap, align=align, pos_e=pos_e, mark_e=mark_e
+        dist=dist, overlap=overlap, align=align, pos_e=pos_e, mark_e=mark_e,
+        polys=polys, areas=areas,
     )
 
 
 def update_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
                  cache: EnergyCache, slot: Array) -> EnergyCache:
-    """Refresh row+column ``slot`` after a birth/move of that slot."""
+    """Refresh row+column ``slot`` after a birth/move of that slot.
+
+    Only the touched slot's polygon/area is rebuilt — the other K-1 corner
+    sets ride in the cache (one move changes one rectangle, so recomputing
+    every poly's sin/cos per step, as a naive row update would, is pure
+    waste)."""
     from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
         marks_to_poly,
         rect_area,
     )
 
-    polys = marks_to_poly(
-        state.xy, state.marks[:, 0], state.marks[:, 1], state.marks[:, 2]
-    )
-    areas = rect_area(state.marks[:, 0], state.marks[:, 1])
+    poly_s = marks_to_poly(
+        state.xy[slot][None], state.marks[slot, 0][None],
+        state.marks[slot, 1][None], state.marks[slot, 2][None],
+    )[0]
+    area_s = rect_area(state.marks[slot, 0], state.marks[slot, 1])
+    polys = cache.polys.at[slot].set(poly_s)
+    areas = cache.areas.at[slot].set(area_s)
     dist_row, ov_row, al_row = _pair_row(state, spec, slot, polys, areas)
     pos_s, mark_s = _unary_row(state, maps, spec, slot)
     return EnergyCache(
@@ -199,6 +210,8 @@ def update_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
         align=cache.align.at[slot, :].set(al_row).at[:, slot].set(al_row),
         pos_e=cache.pos_e.at[slot].set(pos_s),
         mark_e=cache.mark_e.at[slot].set(mark_s),
+        polys=polys,
+        areas=areas,
     )
 
 
@@ -206,8 +219,6 @@ def energy_from_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
                       comb: EnergyCombiner, cache: EnergyCache) -> Array:
     """U(config) from cached matrices — O(K^2) cheap elementwise only.
     Bit-identical to ``energies.total_energy`` (validated in tests)."""
-    from mpp_cnn_rs_object_detection_tpu.ops.geometry import rect_area
-
     k = state.capacity
     eye = jnp.eye(k, dtype=bool)
     alive_pair = state.alive[:, None] & state.alive[None, :] & ~eye
@@ -225,9 +236,9 @@ def energy_from_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
         align_red = jnp.max(jnp.where(al_mask, cache.align, -jnp.inf), axis=1)
     align_red = jnp.where(has_al, align_red, 0.0)
 
-    area = rect_area(state.marks[:, 0], state.marks[:, 1])
     area_prior = jnp.maximum(
-        0.0, jnp.maximum(maps.min_area - area, area - maps.max_area)
+        0.0,
+        jnp.maximum(maps.min_area - cache.areas, cache.areas - maps.max_area),
     )
 
     cols = [cache.pos_e]
