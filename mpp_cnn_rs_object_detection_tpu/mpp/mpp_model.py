@@ -16,6 +16,7 @@ import pickle
 import re
 from typing import Dict, List, Optional
 
+import jax
 import numpy as np
 
 from mpp_cnn_rs_object_detection_tpu.metrics.dota_eval import dota_eval
@@ -298,12 +299,16 @@ class MPPModel(BaseModel):
             if self.config["inference"].get("tile_mesh"):
                 # shard the tile batch over all local devices (multi-chip
                 # tile-data-parallel; no-op win on a single chip)
-                import jax
                 from jax.sharding import Mesh
 
                 devs = jax.devices()
                 if len(devs) > 1:
                     mesh = Mesh(np.asarray(devs).reshape(-1), ("tiles",))
+            # a TPU-worker crash mid-anneal is NOT retried in-process (the
+            # axon client cannot reconnect once its worker dies); instead
+            # every annealing segment is checkpointed and a process-level
+            # rerun (scripts/resilient_run.py) resumes at the last segment,
+            # losing <= segment_size moves per crash
             result = run_mpp_on_scene(
                 data,
                 self.energy_setup,

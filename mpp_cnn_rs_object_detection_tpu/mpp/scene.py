@@ -97,6 +97,7 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                      checkpoint_path: Optional[str] = None,
                      segment_size: int = 4096,
                      max_segments: Optional[int] = None,
+                     max_tiles_per_launch: int = 12,
                      mesh=None) -> Optional[SceneResult]:
     """Full-scene MPP inference (reference ``mpp_model.py:202-321`` infer body).
 
@@ -207,57 +208,90 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     if sampler == "parallel":
         finals, scores_b, stats = jax.vmap(one_tile)(keys, init_b, maps_b, kd_b)
     else:
-        # segment the annealing schedule: one giant scan x wide tile-vmap
-        # crashes the (experimental) axon TPU worker; several shorter
-        # launches with the temperature threaded through are equivalent.
+        # segment the annealing schedule AND chunk the tile axis: one giant
+        # scan x wide tile-vmap crashes the (experimental) axon TPU worker
+        # (a single 25-tile x 4096-move launch faults it reproducibly, while
+        # 12-tile launches survive); several narrower, shorter launches with
+        # the temperature threaded through are equivalent. Chain state lives
+        # host-side between launches so a worker crash loses at most one
+        # segment of one chunk.
         seg = segment_size
-        done = 0
-        segments_run = 0
-        states = init_b
-        t0 = params.t0
-        scores_b = None
+        total = params.total_steps
+        chunk = max(1, max_tiles_per_launch)
+        if mesh is not None:
+            # keep every launch's tile axis divisible by the mesh
+            chunk = max(mesh.size, chunk - chunk % mesh.size)
+        n_chunks = -(-n_batch // chunk)
+        # writable host copies (np.asarray of a jax array is read-only)
+        xy_h = np.array(init_b.xy)
+        marks_h = np.array(init_b.marks)
+        alive_h = np.array(init_b.alive)
+        scores_h = np.zeros(alive_h.shape, np.float32)
+        done_arr = np.zeros(n_chunks, np.int64)
+        t0_arr = np.full(n_chunks, float(params.t0))
         if checkpoint_path and os.path.exists(checkpoint_path):
             ck = np.load(checkpoint_path)
             if (
                 int(ck["n_tiles"]) == n_tiles
                 and int(ck["seed"]) == seed
                 and ck["xy"].shape[0] == n_batch
-                and int(ck["done"]) < params.total_steps
+                and ck["done"].shape == (n_chunks,)
+                and int(ck["done"].min()) < total
             ):
-                states = put(PointsState(
-                    xy=jnp.asarray(ck["xy"]), marks=jnp.asarray(ck["marks"]),
-                    alive=jnp.asarray(ck["alive"]),
-                ))
-                done = int(ck["done"])
-                t0 = float(ck["t0"])
+                xy_h, marks_h = ck["xy"].copy(), ck["marks"].copy()
+                alive_h = ck["alive"].copy()
+                scores_h = ck["scores"].copy()
+                done_arr = ck["done"].copy()
+                t0_arr = ck["t0"].copy()
                 logging.info(
-                    f"scene {data.name}: resuming chains at move {done}"
+                    f"scene {data.name}: resuming chains at moves "
+                    f"{done_arr.tolist()}"
                 )
-        while done < params.total_steps:
-            n = min(seg, params.total_steps - done)
-            key_seg = put(jax.random.split(
-                jax.random.fold_in(jax.random.PRNGKey(seed), done), n_batch
+        segments_run = 0
+        base_key = jax.random.PRNGKey(seed)
+        for ci in range(n_chunks):
+            if done_arr[ci] >= total:
+                continue
+            sl = slice(ci * chunk, min((ci + 1) * chunk, n_batch))
+            maps_c = jax.tree_util.tree_map(lambda x: x[sl], maps_b)
+            kd_c = jax.tree_util.tree_map(lambda x: x[sl], kd_b)
+            states_c = put(PointsState(
+                xy=jnp.asarray(xy_h[sl]), marks=jnp.asarray(marks_h[sl]),
+                alive=jnp.asarray(alive_h[sl]),
             ))
-            states, scores_b, stats = jax.vmap(
-                lambda k, st, m, kd_: one_tile(k, st, m, kd_, n, t0)
-            )(key_seg, states, maps_b, kd_b)
-            done += n
-            t0 = max(float(t0 * alpha**n), params.t_target)
-            if checkpoint_path and done < params.total_steps:
-                np.savez(
-                    checkpoint_path, xy=np.asarray(states.xy),
-                    marks=np.asarray(states.marks),
-                    alive=np.asarray(states.alive), done=done, t0=t0,
-                    n_tiles=n_tiles, seed=seed,
-                )
-            segments_run += 1
-            if (
-                max_segments is not None
-                and segments_run >= max_segments
-                and done < params.total_steps
-            ):
-                return None  # simulated crash mid-anneal
-        finals = states
+            while done_arr[ci] < total:
+                done, t0 = int(done_arr[ci]), float(t0_arr[ci])
+                n = min(seg, total - done)
+                # same key schedule as an unchunked run: split over the full
+                # tile batch, take this chunk's slice
+                key_seg = put(jax.random.split(
+                    jax.random.fold_in(base_key, done), n_batch
+                )[sl])
+                states_c, scores_c, stats = jax.vmap(
+                    lambda k, st, m, kd_: one_tile(k, st, m, kd_, n, t0)
+                )(key_seg, states_c, maps_c, kd_c)
+                done_arr[ci] = done + n
+                t0_arr[ci] = max(float(t0 * alpha**n), params.t_target)
+                xy_h[sl] = np.asarray(states_c.xy)
+                marks_h[sl] = np.asarray(states_c.marks)
+                alive_h[sl] = np.asarray(states_c.alive)
+                scores_h[sl] = np.asarray(scores_c)
+                segments_run += 1
+                finished = bool((done_arr >= total).all())
+                if checkpoint_path and not finished:
+                    np.savez(
+                        checkpoint_path, xy=xy_h, marks=marks_h,
+                        alive=alive_h, scores=scores_h, done=done_arr,
+                        t0=t0_arr, n_tiles=n_tiles, seed=seed,
+                    )
+                if (
+                    max_segments is not None
+                    and segments_run >= max_segments
+                    and not finished
+                ):
+                    return None  # simulated crash mid-anneal
+        finals = PointsState(xy=xy_h, marks=marks_h, alive=alive_h)
+        scores_b = scores_h
         if checkpoint_path and os.path.exists(checkpoint_path):
             os.remove(checkpoint_path)
 

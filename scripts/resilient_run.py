@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Process-level resilient CLI runner for flaky TPU workers.
+
+The experimental axon TPU plugin's worker process occasionally crashes under
+sustained load and the in-process JAX client cannot reconnect (every
+subsequent device op raises UNAVAILABLE). Recovery therefore has to happen at
+the *process* level: this wrapper re-execs ``main.py`` until it exits 0,
+waiting for the device to answer a probe between attempts.
+
+Idempotence comes from the framework's own resumability (SURVEY §5 analog):
+per-image ``*_results.pkl`` skip-unless-overwrite, and per-scene annealing
+checkpoints (``*_chains.ck.npz``) that lose at most one segment per crash.
+
+Usage: python scripts/resilient_run.py [max_attempts] -- <main.py args...>
+"""
+
+import subprocess
+import sys
+import time
+
+REPO = "/root/repo"
+PROBE = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((128, 128));"
+    "print(jax.jit(lambda a: (a @ a).sum())(x))"
+)
+
+
+def wait_for_device(poll_s: float = 60.0, probe_timeout_s: float = 240.0,
+                    max_wait_s: float = 3600.0) -> bool:
+    """Block until a fresh process can run a jitted op on the device."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", PROBE], cwd=REPO,
+                timeout=probe_timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[resilient_run] device probe failed "
+              f"({time.time() - t0:.0f}s elapsed); waiting {poll_s:.0f}s",
+              flush=True)
+        time.sleep(poll_s)
+    return False
+
+
+def main(argv):
+    max_attempts = 20
+    if argv and argv[0] != "--":
+        max_attempts = int(argv[0])
+        argv = argv[1:]
+    if argv and argv[0] == "--":
+        argv = argv[1:]
+    for attempt in range(1, max_attempts + 1):
+        if not wait_for_device():
+            print("[resilient_run] device never came back; giving up",
+                  flush=True)
+            return 2
+        print(f"[resilient_run] attempt {attempt}/{max_attempts}: "
+              f"main.py {' '.join(argv)}", flush=True)
+        r = subprocess.run([sys.executable, "main.py", *argv], cwd=REPO)
+        if r.returncode == 0:
+            print("[resilient_run] success", flush=True)
+            return 0
+        print(f"[resilient_run] exited {r.returncode}; retrying", flush=True)
+        time.sleep(30.0)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
