@@ -77,13 +77,6 @@ def _masked_grads(grads: Dict):
     }
 
 
-def _config_energy(comb: EnergyCombiner, state: PointsState, maps: EnergyMaps,
-                   spec) -> jnp.ndarray:
-    vec = energy_vectors(state, maps, spec)
-    per_point = combine(comb, vec)
-    return jnp.sum(jnp.where(state.alive, per_point, 0.0))
-
-
 def train_ordering_criterion(crops: List[ImageWMaps], setup: EnergySetup,
                              logger, save_dir: str, rng: np.random.Generator,
                              n_epochs: int = 8, samples_per_image: int = 16,
@@ -114,25 +107,39 @@ def train_ordering_criterion(crops: List[ImageWMaps], setup: EnergySetup,
     )
     key = jax.random.PRNGKey(int(rng.integers(2**31)))
 
+    # the energy VECTORS are independent of the combiner params — only
+    # ``combine`` is trainable. Computing them outside the grad keeps the
+    # backward pass to the (K, E) -> scalar head instead of saving every
+    # pairwise-clipping intermediate of (B*S) configs (which OOMs HBM).
     @jax.jit
-    def train_step(params, opt_state, key, maps_b, kd_b, gt_b):
+    def prep_vectors(key, maps_b, kd_b, gt_b):
         k_pert, _ = jax.random.split(key)
         pert_b = jax.vmap(
             lambda k, g, kd: sample_kernel_perturbed_batch(
                 k, g, kd, n_moves, samples_per_image
             )
         )(jax.random.split(k_pert, gt_b.xy.shape[0]), gt_b, kd_b)
+        vec_gt = jax.vmap(lambda g, m: energy_vectors(g, m, spec))(
+            gt_b, maps_b
+        )  # (B, K, E)
+        vec_pert = jax.vmap(
+            lambda pb, m: jax.vmap(lambda s: energy_vectors(s, m, spec))(pb)
+        )(pert_b, maps_b)  # (B, S, K, E)
+        return vec_gt, gt_b.alive, vec_pert, pert_b.alive
 
+    @jax.jit
+    def train_step(params, opt_state, vec_gt, alive_gt, vec_pert, alive_pert):
         def loss_fn(p):
             c = comb.replace(params=p)
-            u_gt = jax.vmap(lambda g, m: _config_energy(c, g, m, spec))(
-                gt_b, maps_b
-            )  # (B,)
-            u_pert = jax.vmap(
-                lambda pb, m: jax.vmap(
-                    lambda s: _config_energy(c, s, m, spec)
-                )(pb)
-            )(pert_b, maps_b)  # (B, S)
+            pp_gt = jax.vmap(lambda v: combine(c, v))(vec_gt)  # (B, K)
+            u_gt = jnp.sum(jnp.where(alive_gt, pp_gt, 0.0), axis=-1)  # (B,)
+            b, s, k, e = vec_pert.shape
+            pp_pert = jax.vmap(lambda v: combine(c, v))(
+                vec_pert.reshape(b * s, k, e)
+            ).reshape(b, s, k)
+            u_pert = jnp.sum(
+                jnp.where(alive_pert, pp_pert, 0.0), axis=-1
+            )  # (B, S)
             deltas = u_pert - u_gt[:, None]
             loss = -jnp.mean(deltas)
             if reg_weight:
@@ -154,9 +161,8 @@ def train_ordering_criterion(crops: List[ImageWMaps], setup: EnergySetup,
             batch = [crops[i] for i in idx]
             maps_b, kd_b, gt_b = prepare_batch(batch, setup, capacity)
             key, sub = jax.random.split(key)
-            params, opt_state, loss = train_step(
-                params, opt_state, sub, maps_b, kd_b, gt_b
-            )
+            vecs = prep_vectors(sub, maps_b, kd_b, gt_b)
+            params, opt_state, loss = train_step(params, opt_state, *vecs)
             step_i += 1
         comb = comb.replace(params=params)
         if logger is not None:
@@ -201,31 +207,44 @@ def train_integral_criterion(crops: List[ImageWMaps], setup: EnergySetup,
     key = jax.random.PRNGKey(int(rng.integers(2**31)))
     patch_hw = crops[0].shape
 
+    # as in the ordering criterion: energy vectors are param-independent, so
+    # they are computed grad-free and only ``combine`` sits under autograd
     @jax.jit
-    def train_step(params, opt_state, key, maps_b, kd_b, gt_b):
+    def prep_vectors(key, maps_b, kd_b, gt_b):
         k_pos, k_neg = jax.random.split(key)
         nb = gt_b.xy.shape[0]
-        pos_b = jax.vmap(
-            lambda k, g, kd: sample_perturbed_batch(
-                k, g, kd, patch_hw, pos_preset, samples_per_image
-            )
-        )(jax.random.split(k_pos, nb), gt_b, kd_b)
-        neg_b = jax.vmap(
-            lambda k, g, kd: sample_perturbed_batch(
-                k, g, kd, patch_hw, neg_preset, samples_per_image
-            )
-        )(jax.random.split(k_neg, nb), gt_b, kd_b)
 
+        def perturb_and_vec(k, preset):
+            states_b = jax.vmap(
+                lambda kk, g, kd: sample_perturbed_batch(
+                    kk, g, kd, patch_hw, preset, samples_per_image
+                )
+            )(jax.random.split(k, nb), gt_b, kd_b)
+            vec = jax.vmap(
+                lambda sb, m: jax.vmap(
+                    lambda s: energy_vectors(s, m, spec)
+                )(sb)
+            )(states_b, maps_b)  # (B, S, K, E)
+            return vec, states_b.alive
+
+        vec_pos, alive_pos = perturb_and_vec(k_pos, pos_preset)
+        vec_neg, alive_neg = perturb_and_vec(k_neg, neg_preset)
+        return vec_pos, alive_pos, vec_neg, alive_neg
+
+    @jax.jit
+    def train_step(params, opt_state, vec_pos, alive_pos, vec_neg, alive_neg):
         def loss_fn(p):
             c = comb.replace(params=p)
 
-            def batch_energy(states_b, maps):
-                return jax.vmap(lambda s: _config_energy(c, s, maps, spec))(
-                    states_b
-                )
+            def mean_energy(vec, alive):
+                b, s, k, e = vec.shape
+                pp = jax.vmap(lambda v: combine(c, v))(
+                    vec.reshape(b * s, k, e)
+                ).reshape(b, s, k)
+                return jnp.mean(jnp.sum(jnp.where(alive, pp, 0.0), axis=-1))
 
-            e_plus = jnp.mean(jax.vmap(batch_energy)(pos_b, maps_b))
-            e_minus = jnp.mean(jax.vmap(batch_energy)(neg_b, maps_b))
+            e_plus = mean_energy(vec_pos, alive_pos)
+            e_minus = mean_energy(vec_neg, alive_neg)
             loss = e_plus - e_minus
             if reg_weight:
                 loss = loss + reg_weight * (
@@ -247,9 +266,8 @@ def train_integral_criterion(crops: List[ImageWMaps], setup: EnergySetup,
             batch = [crops[i] for i in idx]
             maps_b, kd_b, gt_b = prepare_batch(batch, setup, capacity)
             key, sub = jax.random.split(key)
-            params, opt_state, loss = train_step(
-                params, opt_state, sub, maps_b, kd_b, gt_b
-            )
+            vecs = prep_vectors(sub, maps_b, kd_b, gt_b)
+            params, opt_state, loss = train_step(params, opt_state, *vecs)
         comb = comb.replace(params=params)
         if logger is not None:
             logger.update(epoch, {"loss": float(loss)})
