@@ -122,8 +122,14 @@ def train_ordering_criterion(crops: List[ImageWMaps], setup: EnergySetup,
         vec_gt = jax.vmap(lambda g, m: energy_vectors(g, m, spec))(
             gt_b, maps_b
         )  # (B, K, E)
+        # lax.map over the sample axis: the dense (K,K) clipping holds
+        # ~250MB of transients per config, so evaluating all B*S configs in
+        # one vmap exceeds HBM; sequential-over-S keeps peak memory at B
+        # configs while the B axis stays vectorized
         vec_pert = jax.vmap(
-            lambda pb, m: jax.vmap(lambda s: energy_vectors(s, m, spec))(pb)
+            lambda pb, m: jax.lax.map(
+                lambda s: energy_vectors(s, m, spec), pb
+            )
         )(pert_b, maps_b)  # (B, S, K, E)
         return vec_gt, gt_b.alive, vec_pert, pert_b.alive
 
@@ -220,10 +226,12 @@ def train_integral_criterion(crops: List[ImageWMaps], setup: EnergySetup,
                     kk, g, kd, patch_hw, preset, samples_per_image
                 )
             )(jax.random.split(k, nb), gt_b, kd_b)
+            # sequential over S for the same HBM reason as the ordering
+            # criterion's prep_vectors
             vec = jax.vmap(
-                lambda sb, m: jax.vmap(
-                    lambda s: energy_vectors(s, m, spec)
-                )(sb)
+                lambda sb, m: jax.lax.map(
+                    lambda s: energy_vectors(s, m, spec), sb
+                )
             )(states_b, maps_b)  # (B, S, K, E)
             return vec, states_b.alive
 
