@@ -34,8 +34,8 @@ from mpp_cnn_rs_object_detection_tpu.mpp.classic_energies import (
 )
 from mpp_cnn_rs_object_detection_tpu.mpp.state import PointsState
 from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
-    convex_quad_intersection_area,
     marks_to_poly,
+    quad_intersection_area_matrix,
     rect_area,
 )
 
@@ -199,9 +199,10 @@ def pair_terms(state: PointsState, spec: EnergySpec) -> Tuple[Array, Array]:
     polys = marks_to_poly(
         state.xy, state.marks[:, 0], state.marks[:, 1], state.marks[:, 2]
     )  # (K, 4, 2)
-    inter = jax.vmap(
-        lambda pa: jax.vmap(lambda pb: convex_quad_intersection_area(pa, pb))(polys)
-    )(polys)  # (K, K)
+    # TPU-layout-friendly all-pairs clipping: candidate axis major, so
+    # nothing with a tiny minor dim gets lane-padded (the naive double-vmap
+    # costs ~5x memory in padding at K=256)
+    inter = quad_intersection_area_matrix(polys, polys)  # (K, K)
     areas = rect_area(state.marks[:, 0], state.marks[:, 1])  # (K,)
     min_area = jnp.minimum(areas[:, None], areas[None, :])
     overlap = inter / (min_area + 1e-6)

@@ -142,16 +142,23 @@ def sample_kernel_perturbed_state(key, gt: PointsState, kd: KernelData,
 
 def sample_perturbed_batch(key, gt: PointsState, kd: KernelData, shape_hw,
                            preset: Dict, n_samples: int) -> PointsState:
-    """(n_samples,)-batched gaussian perturbations of one GT config."""
+    """(n_samples,)-batched gaussian perturbations of one GT config.
+
+    Sequential over samples: a vmapped ``lax.switch`` evaluates every branch
+    with operands broadcast over the batch axis, which materialises the
+    (3, H, W, C) kernel mark-distributions once PER SAMPLE (16G HBM at
+    B=8 x S=16). Sampling is prep-work, not the hot loop.
+    """
     keys = jax.random.split(key, n_samples)
-    return jax.vmap(
-        lambda k: sample_perturbed_state(k, gt, kd, shape_hw, preset)
-    )(keys)
+    return jax.lax.map(
+        lambda k: sample_perturbed_state(k, gt, kd, shape_hw, preset), keys
+    )
 
 
 def sample_kernel_perturbed_batch(key, gt: PointsState, kd: KernelData,
                                   n_moves: int, n_samples: int) -> PointsState:
+    # sequential over samples — same broadcast-under-vmap reason as above
     keys = jax.random.split(key, n_samples)
-    return jax.vmap(
-        lambda k: sample_kernel_perturbed_state(k, gt, kd, n_moves)
-    )(keys)
+    return jax.lax.map(
+        lambda k: sample_kernel_perturbed_state(k, gt, kd, n_moves), keys
+    )

@@ -89,15 +89,13 @@ def _pair_row(state: PointsState, spec: EnergySpec, slot: Array,
               polys: Array, areas: Array) -> Tuple[Array, Array, Array]:
     """dist/overlap/align of ``slot`` against all K points (O(K) heavy ops)."""
     from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
-        convex_quad_intersection_area,
+        quad_intersection_area_matrix,
     )
 
     xy_s = state.xy[slot]
     dist_row = jnp.linalg.norm(state.xy - xy_s[None, :], axis=-1)
     poly_s = polys[slot]
-    inter_row = jax.vmap(
-        lambda pb: convex_quad_intersection_area(poly_s, pb)
-    )(polys)
+    inter_row = quad_intersection_area_matrix(poly_s[None], polys)[0]
     min_area = jnp.minimum(areas, areas[slot])
     overlap_row = inter_row / (min_area + 1e-6)
     dangle = state.marks[slot, 2] - state.marks[:, 2]
@@ -141,8 +139,8 @@ def build_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec
     """Full O(K^2) cache build (once per chain)."""
     from mpp_cnn_rs_object_detection_tpu.mpp.energies import marks_to_class
     from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
-        convex_quad_intersection_area,
         marks_to_poly,
+        quad_intersection_area_matrix,
         rect_area,
     )
 
@@ -152,11 +150,7 @@ def build_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec
     areas = rect_area(state.marks[:, 0], state.marks[:, 1])
     diff = state.xy[:, None, :] - state.xy[None, :, :]
     dist = jnp.linalg.norm(diff, axis=-1)
-    inter = jax.vmap(
-        lambda pa: jax.vmap(lambda pb: convex_quad_intersection_area(pa, pb))(
-            polys
-        )
-    )(polys)
+    inter = quad_intersection_area_matrix(polys, polys)
     min_area = jnp.minimum(areas[:, None], areas[None, :])
     overlap = inter / (min_area + 1e-6)
     dangle = state.marks[:, None, 2] - state.marks[None, :, 2]
@@ -360,8 +354,8 @@ def papangelou(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
     from mpp_cnn_rs_object_detection_tpu.mpp.combinators import combine as _combine
     from mpp_cnn_rs_object_detection_tpu.mpp.energies import data_columns
     from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
-        convex_quad_intersection_area,
         marks_to_poly,
+        quad_intersection_area_matrix,
         rect_area,
     )
 
@@ -375,21 +369,9 @@ def papangelou(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
         state.xy, state.marks[:, 0], state.marks[:, 1], state.marks[:, 2]
     )
     areas = rect_area(state.marks[:, 0], state.marks[:, 1])
-    # row-chunked pairwise intersections: a flat (K, K) vmap materialises
-    # (K, K, ...) clipping temporaries, which OOMs HBM for scene-level K
-    chunk = 128
-    pad = (-k) % chunk
-    polys_p = jnp.pad(polys, ((0, pad), (0, 0), (0, 0)))
-    rows = polys_p.reshape(-1, chunk, 4, 2)
-
-    def row_block(block):
-        return jax.vmap(
-            lambda pa: jax.vmap(
-                lambda pb: convex_quad_intersection_area(pa, pb)
-            )(polys)
-        )(block)
-
-    inter = jax.lax.map(row_block, rows).reshape(-1, k)[:k]
+    # candidate-major all-pairs clipping: no lane padding, so scene-level K
+    # fits without the row-chunking the old (K, K, 24, 2) layout needed
+    inter = quad_intersection_area_matrix(polys, polys)
     overlap = inter / (jnp.minimum(areas[:, None], areas[None, :]) + 1e-6)
     dangle = state.marks[:, None, 2] - state.marks[None, :, 2]
     align = 1.0 - jnp.abs(jnp.cos(dangle)) - float(spec.rewarding_align)

@@ -52,6 +52,33 @@ def _stack(trees):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
 
 
+# configs evaluated in parallel per energy_vectors launch: the dense (K,K)
+# quad-clipping holds large transients per config, so wide vmaps over
+# many configs exceed HBM (observed 24.1G for 128 configs at K=256)
+VEC_CHUNK = 4
+
+
+def _chunked_energy_vectors(states_b: PointsState, maps: EnergyMaps, spec,
+                            chunk: int = VEC_CHUNK) -> jnp.ndarray:
+    """(S, K, E) energy vectors for S stacked configs of ONE image,
+    sequential over chunks of ``chunk`` vmapped configs."""
+    s = states_b.xy.shape[0]
+    pad = (-s) % chunk
+    if pad:
+        states_b = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate([x, x[:pad]], axis=0), states_b
+        )
+    grouped = jax.tree_util.tree_map(
+        lambda x: x.reshape((s + pad) // chunk, chunk, *x.shape[1:]),
+        states_b,
+    )
+    vecs = jax.lax.map(
+        lambda sb: jax.vmap(lambda st: energy_vectors(st, maps, spec))(sb),
+        grouped,
+    )
+    return vecs.reshape(s + pad, *vecs.shape[2:])[:s]
+
+
 def prepare_batch(crops: List[ImageWMaps], setup: EnergySetup, capacity: int
                   ) -> Tuple[EnergyMaps, KernelData, PointsState]:
     """Stack per-crop maps/kernel-data/GT states for one vmapped evaluation."""
@@ -114,23 +141,22 @@ def train_ordering_criterion(crops: List[ImageWMaps], setup: EnergySetup,
     @jax.jit
     def prep_vectors(key, maps_b, kd_b, gt_b):
         k_pert, _ = jax.random.split(key)
-        pert_b = jax.vmap(
-            lambda k, g, kd: sample_kernel_perturbed_batch(
-                k, g, kd, n_moves, samples_per_image
-            )
-        )(jax.random.split(k_pert, gt_b.xy.shape[0]), gt_b, kd_b)
-        vec_gt = jax.vmap(lambda g, m: energy_vectors(g, m, spec))(
-            gt_b, maps_b
+        # sequential over images (see sample_kernel_perturbed_batch on why
+        # batched axes must stay off the vmapped lax.switch)
+        pert_b = jax.lax.map(
+            lambda a: sample_kernel_perturbed_batch(
+                a[0], a[1], a[2], n_moves, samples_per_image
+            ),
+            (jax.random.split(k_pert, gt_b.xy.shape[0]), gt_b, kd_b),
+        )
+        # sequential over images; VEC_CHUNK-wide vmap inside
+        vec_gt = jax.lax.map(
+            lambda gm: energy_vectors(gm[0], gm[1], spec), (gt_b, maps_b)
         )  # (B, K, E)
-        # lax.map over the sample axis: the dense (K,K) clipping holds
-        # ~250MB of transients per config, so evaluating all B*S configs in
-        # one vmap exceeds HBM; sequential-over-S keeps peak memory at B
-        # configs while the B axis stays vectorized
-        vec_pert = jax.vmap(
-            lambda pb, m: jax.lax.map(
-                lambda s: energy_vectors(s, m, spec), pb
-            )
-        )(pert_b, maps_b)  # (B, S, K, E)
+        vec_pert = jax.lax.map(
+            lambda pm: _chunked_energy_vectors(pm[0], pm[1], spec),
+            (pert_b, maps_b),
+        )  # (B, S, K, E)
         return vec_gt, gt_b.alive, vec_pert, pert_b.alive
 
     @jax.jit
@@ -221,18 +247,20 @@ def train_integral_criterion(crops: List[ImageWMaps], setup: EnergySetup,
         nb = gt_b.xy.shape[0]
 
         def perturb_and_vec(k, preset):
-            states_b = jax.vmap(
-                lambda kk, g, kd: sample_perturbed_batch(
-                    kk, g, kd, patch_hw, preset, samples_per_image
-                )
-            )(jax.random.split(k, nb), gt_b, kd_b)
-            # sequential over S for the same HBM reason as the ordering
-            # criterion's prep_vectors
-            vec = jax.vmap(
-                lambda sb, m: jax.lax.map(
-                    lambda s: energy_vectors(s, m, spec), sb
-                )
-            )(states_b, maps_b)  # (B, S, K, E)
+            # sequential over images — broadcast-under-vmap (see
+            # sample_perturbed_batch)
+            states_b = jax.lax.map(
+                lambda a: sample_perturbed_batch(
+                    a[0], a[1], a[2], patch_hw, preset, samples_per_image
+                ),
+                (jax.random.split(k, nb), gt_b, kd_b),
+            )
+            # sequential over images and sample-chunks for the same HBM
+            # reason as the ordering criterion's prep_vectors
+            vec = jax.lax.map(
+                lambda sm: _chunked_energy_vectors(sm[0], sm[1], spec),
+                (states_b, maps_b),
+            )  # (B, S, K, E)
             return vec, states_b.alive
 
         vec_pos, alive_pos = perturb_and_vec(k_pos, pos_preset)

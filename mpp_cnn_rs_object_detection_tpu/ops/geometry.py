@@ -20,6 +20,7 @@ Parameterisation (kept identical to the reference):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -276,3 +277,113 @@ def quad_overlap_ratio(quad_a: Array, quad_b: Array) -> Array:
     inter = convex_quad_intersection_area(quad_a, quad_b)
     min_area = jnp.minimum(quad_area(quad_a), quad_area(quad_b))
     return inter / (min_area + 1e-6)
+
+
+def quad_intersection_area_matrix(polys_a: Array, polys_b: Array) -> Array:
+    """All-pairs intersection areas, TPU-layout-friendly: (Ka, Kb).
+
+    Same maths as ``convex_quad_intersection_area`` vmapped over both sides,
+    but every large intermediate is laid out (candidates, Ka, Kb) — the
+    candidate axis (4/16/24) is MAJOR, so nothing sits in the minor-most two
+    dimensions except (Ka, Kb). The naive double-vmap keeps (..., 24, 2)
+    minor, which the TPU pads 24->128 / 2->128 (observed 5.3x memory
+    expansion, 13G of padding on a (4, 256, 256, 24, 2) buffer).
+    ``lax.sort`` with num_keys=1 orders candidates by angle along axis 0
+    without gathers.
+    """
+    pa = jnp.asarray(polys_a, jnp.float32)
+    pb = jnp.asarray(polys_b, jnp.float32)
+    if jax.default_backend() == "cpu":
+        # no lane padding on CPU, and the heavily-unrolled matrix graph has
+        # crashed the XLA CPU compiler under nested vmaps late in long
+        # processes — keep the compact double-vmap formulation there
+        return jax.vmap(
+            lambda qa: jax.vmap(
+                lambda qb: convex_quad_intersection_area(qa, qb)
+            )(pb)
+        )(pa)
+    ka, kb = pa.shape[0], pb.shape[0]
+    # vertices, candidate-major: (4, Ka, 1) and (4, 1, Kb)
+    ax = pa[:, :, 0].T[:, :, None]
+    ay = pa[:, :, 1].T[:, :, None]
+    bx = pb[:, :, 0].T[:, None, :]
+    by = pb[:, :, 1].T[:, None, :]
+    axn, ayn = jnp.roll(ax, -1, 0), jnp.roll(ay, -1, 0)
+    bxn, byn = jnp.roll(bx, -1, 0), jnp.roll(by, -1, 0)
+
+    sgn_a = jnp.sign(
+        0.5 * jnp.sum(ax * ayn - axn * ay, axis=0)
+    )  # (Ka, 1)
+    sgn_b = jnp.sign(0.5 * jnp.sum(bx * byn - bxn * by, axis=0))  # (1, Kb)
+
+    def in_quad(px, py, qx, qy, qxn, qyn, sgn):
+        """point arrays (P, Ka, Kb); quad edges (4, ...); -> (P, Ka, Kb)."""
+        inside = None
+        for e in range(4):
+            ex0, ey0 = qx[e], qy[e]
+            ex1, ey1 = qxn[e], qyn[e]
+            cross = (ex1 - ex0) * (py - ey0) - (ey1 - ey0) * (px - ex0)
+            elen = jnp.sqrt((ex1 - ex0) ** 2 + (ey1 - ey0) ** 2)
+            pdist = jnp.sqrt((px - ex0) ** 2 + (py - ey0) ** 2)
+            tol = 1e-6 * (elen * pdist + 1.0)
+            ok = cross * sgn >= -tol
+            inside = ok if inside is None else (inside & ok)
+        return inside
+
+    # candidate set 1: A's vertices inside B  (4, Ka, Kb)
+    in_b = in_quad(ax + 0 * bx, ay + 0 * by, bx, by, bxn, byn, sgn_b)
+    # candidate set 2: B's vertices inside A
+    in_a = in_quad(0 * ax + bx, 0 * ay + by, ax, ay, axn, ayn, sgn_a)
+
+    # candidate set 3: the 16 edge-pair intersections (16, Ka, Kb)
+    seg_x, seg_y, seg_ok = [], [], []
+    for i in range(4):
+        d1x, d1y = axn[i] - ax[i], ayn[i] - ay[i]
+        for j in range(4):
+            d2x, d2y = bxn[j] - bx[j], byn[j] - by[j]
+            denom = d1x * d2y - d1y * d2x
+            wx, wy = bx[j] - ax[i], by[j] - ay[i]
+            t_num = wx * d2y - wy * d2x
+            s_num = wx * d1y - wy * d1x
+            safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+            t = t_num / safe
+            s = s_num / safe
+            tol = 1e-7
+            ok = (
+                (jnp.abs(denom) > _EPS)
+                & (t >= -tol) & (t <= 1 + tol)
+                & (s >= -tol) & (s <= 1 + tol)
+            )
+            seg_x.append(ax[i] + t * d1x)
+            seg_y.append(ay[i] + t * d1y)
+            seg_ok.append(ok)
+
+    cx = jnp.stack(
+        [ax[i] + 0 * bx[0] for i in range(4)]
+        + [0 * ax[0] + bx[j] for j in range(4)] + seg_x
+    )  # (24, Ka, Kb)
+    cy = jnp.stack(
+        [ay[i] + 0 * by[0] for i in range(4)]
+        + [0 * ay[0] + by[j] for j in range(4)] + seg_y
+    )
+    valid = jnp.concatenate([in_b, in_a, jnp.stack(seg_ok)])  # (24, Ka, Kb)
+
+    vf = valid.astype(cx.dtype)
+    n_valid = jnp.sum(vf, axis=0)  # (Ka, Kb)
+    denom_c = jnp.maximum(n_valid, 1.0)
+    cx0 = jnp.sum(cx * vf, axis=0) / denom_c
+    cy0 = jnp.sum(cy * vf, axis=0) / denom_c
+
+    ang = jnp.arctan2(cy - cy0, cx - cx0)
+    ang = jnp.where(valid, ang, jnp.inf)  # invalid slots sort last
+    # one variadic sort, no gathers — 3x faster than argsort+take_along_axis
+    # in the TPU hot loop
+    _, sx, sy, sv = jax.lax.sort(
+        (ang, cx, cy, vf), dimension=0, num_keys=1
+    )
+    # pad invalid tail with the first (valid) vertex: zero added area
+    px = jnp.where(sv > 0.5, sx, sx[0])
+    py = jnp.where(sv > 0.5, sy, sy[0])
+    pxn, pyn = jnp.roll(px, -1, 0), jnp.roll(py, -1, 0)
+    area = 0.5 * jnp.abs(jnp.sum(px * pyn - pxn * py, axis=0))
+    return jnp.where(n_valid >= 3, area, 0.0)
