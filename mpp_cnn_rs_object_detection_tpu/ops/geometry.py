@@ -302,7 +302,13 @@ def quad_intersection_area_matrix(polys_a: Array, polys_b: Array) -> Array:
                 lambda qb: convex_quad_intersection_area(qa, qb)
             )(pb)
         )(pa)
-    ka, kb = pa.shape[0], pb.shape[0]
+    return _quad_intersection_area_matrix_impl(pa, pb)
+
+
+def _quad_intersection_area_matrix_impl(pa: Array, pb: Array) -> Array:
+    """The candidate-major math behind ``quad_intersection_area_matrix``
+    (kept callable on any backend so tests pin it against the double-vmap
+    formulation even though CPU dispatch never takes this branch)."""
     # vertices, candidate-major: (4, Ka, 1) and (4, 1, Kb)
     ax = pa[:, :, 0].T[:, :, None]
     ay = pa[:, :, 1].T[:, :, None]

@@ -147,3 +147,32 @@ def test_intersection_contained_rect():
     inter = float(convex_quad_intersection_area(big, small))
     np.testing.assert_allclose(inter, float(quad_area(jnp.asarray(small))), rtol=1e-3)
     np.testing.assert_allclose(float(quad_overlap_ratio(big, small)), 1.0, rtol=1e-3)
+
+
+def test_matrix_clipping_matches_double_vmap():
+    """The TPU candidate-major all-pairs clipping equals the double-vmap
+    formulation (CPU dispatch never takes that branch, so pin the impl
+    directly)."""
+    import jax
+
+    from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
+        _quad_intersection_area_matrix_impl,
+    )
+
+    rng = np.random.default_rng(7)
+    k = 40
+    polys = marks_to_poly(
+        rng.uniform(0, 80, (k, 2)).astype(np.float32),
+        rng.uniform(2, 12, k).astype(np.float32),
+        rng.uniform(0.2, 1.0, k).astype(np.float32),
+        rng.uniform(0, np.pi, k).astype(np.float32),
+    )
+    ref = jax.vmap(
+        lambda pa: jax.vmap(
+            lambda pb: convex_quad_intersection_area(pa, pb)
+        )(polys)
+    )(polys)
+    new = _quad_intersection_area_matrix_impl(
+        jnp.asarray(polys), jnp.asarray(polys)
+    )
+    np.testing.assert_allclose(np.asarray(new), np.asarray(ref), atol=1e-4)
