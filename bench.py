@@ -196,12 +196,21 @@ def main():
     det, dists = build_tile()
     try:
         moves_per_sec, dt, n_found = bench_jax(det, dists)
-    except Exception:
+    except Exception as exc:
         # a mid-bench worker fault kills this process's client for good;
-        # re-exec once the device answers a probe again
+        # re-exec once the device answers a probe again. Only device/runtime
+        # faults qualify — programming errors re-raise with their traceback.
+        import traceback
+
+        name = type(exc).__name__
+        msg = str(exc)
+        device_fault = name in ("XlaRuntimeError", "JaxRuntimeError") or any(
+            s in msg for s in ("UNAVAILABLE", "INTERNAL", "DEADLINE_EXCEEDED")
+        )
         attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
-        if attempt >= 3:
+        if not device_fault or attempt >= 3:
             raise
+        traceback.print_exc()
         print(f"# device error; re-exec attempt {attempt + 1}/3",
               file=sys.stderr, flush=True)
         env = dict(os.environ, BENCH_ATTEMPT=str(attempt + 1))

@@ -24,6 +24,23 @@ from PIL import Image
 from mpp_cnn_rs_object_detection_tpu.ops.sampler2d import sample_point_2d
 
 
+def _read_meta(meta_files, key):
+    """One metadata field per image, as a float array."""
+    vals = []
+    for mf in meta_files:
+        with open(mf, "r") as f:
+            vals.append(json.load(f)[key])
+    return np.asarray(vals, np.float64)
+
+
+def _floor_one_density(raw: np.ndarray, n_patches: int) -> np.ndarray:
+    """Per-image sampling density proportional to ``raw``, floored so every
+    image receives at least ~one of the ``n_patches`` samples in expectation
+    (the reference's guarantee that no source image is starved)."""
+    expected = raw / raw.sum() * (n_patches - len(raw)) + 1.0
+    return expected / expected.sum()
+
+
 class PatchSampler:
     sample_density_per_image: Optional[np.ndarray] = None
     n_images: Optional[int] = None
@@ -53,15 +70,10 @@ class UniformSampler(PatchSampler):
     def initialise(self, patch_files, label_files, meta_files):
         self.n_images = len(meta_files)
         assert self.n_images <= self.n_patches
-        pixel_count = []
-        for mf in meta_files:
-            with open(mf, "r") as f:
-                meta = json.load(f)
-            shape = meta["shape"]
-            pixel_count.append(shape[0] * shape[1])
-        pixel_count = np.array(pixel_count, dtype=np.float64)
-        samples = (pixel_count / pixel_count.sum()) * (self.n_patches - self.n_images) + 1
-        self.sample_density_per_image = samples / samples.sum()
+        areas = np.prod(_read_meta(meta_files, "shape"), axis=-1)
+        self.sample_density_per_image = _floor_one_density(
+            areas, self.n_patches
+        )
 
     def sample_patch_center(self, image_id, shape, centers):
         return self.rng.integers((0, 0), shape)
@@ -76,14 +88,9 @@ class ObjectSampler(PatchSampler):
 
     def initialise(self, patch_files, label_files, meta_files):
         self.n_images = len(patch_files)
-        counts = []
-        for mf in meta_files:
-            with open(mf, "r") as f:
-                meta = json.load(f)
-            counts.append(meta["n_objects"])
-        counts = np.array(counts, dtype=np.float64)
-        samples = (counts / counts.sum()) * (self.n_patches - self.n_images) + 1
-        self.sample_density_per_image = samples / samples.sum()
+        self.sample_density_per_image = _floor_one_density(
+            _read_meta(meta_files, "n_objects"), self.n_patches
+        )
 
     def sample_patch_center(self, image_id, shape, centers):
         if len(centers) > 0:

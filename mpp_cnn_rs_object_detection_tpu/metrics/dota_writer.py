@@ -1,10 +1,12 @@
 """DOTA-devkit text-format writer for GT and detections.
 
-Rebuild of reference ``metrics/dota_results_translator.py:10-80``: accumulates
-per-image GT/detections and writes ``dota[postfix]/gt/NNNN.txt`` (8 int coords
-+ category + difficulty), ``det/<class>.txt`` (imgid score 8 float coords) and
-``imageSet.txt``, preserving the coordinate-flip conventions so outputs are
-interchangeable with the reference's.
+Behavioural rebuild of reference ``metrics/dota_results_translator.py:10-80``.
+The on-disk format is frozen (the devkit evaluator parses it):
+``dota[postfix]/gt/NNNN.txt`` holds one GT per line — 8 integer coords +
+category + difficulty — ``det/<class>.txt`` one detection per line —
+image id, score, 8 float coords — and ``imageSet.txt`` the image ids.
+Implementation is array-at-a-time: polygons are flipped/converted/formatted
+as whole (N, 4, 2) batches rather than per-row string concatenation.
 """
 
 from __future__ import annotations
@@ -17,65 +19,80 @@ import numpy as np
 from mpp_cnn_rs_object_detection_tpu.utils.files import make_if_not_exist
 
 
-def dots4_to_rec4(poly: np.ndarray):
-    """Axis-aligned bounds of a 4-point polygon (devkit ``dota_utils.dots4ToRec4``)."""
-    xs = poly[:, 0]
-    ys = poly[:, 1]
-    return xs.min(), ys.min(), xs.max(), ys.max()
+def polys_to_hbb(polys: np.ndarray) -> np.ndarray:
+    """(N, 4, 2) polygons -> (N, 4, 2) axis-aligned corner rectangles
+    (tl, tr, br, bl) — the devkit ``dots4ToRec4`` bound, batched."""
+    lo = polys.min(axis=1)
+    hi = polys.max(axis=1)
+    return np.stack(
+        [
+            np.stack([lo[:, 0], lo[:, 1]], -1),
+            np.stack([hi[:, 0], lo[:, 1]], -1),
+            np.stack([hi[:, 0], hi[:, 1]], -1),
+            np.stack([lo[:, 0], hi[:, 1]], -1),
+        ],
+        axis=1,
+    )
+
+
+def _coord_rows(polys: np.ndarray, fmt: str) -> List[str]:
+    """Format each polygon's 8 coordinates as one space-joined string."""
+    flat = polys.reshape(len(polys), 8)
+    return [" ".join(fmt % v for v in row) for row in flat]
 
 
 class DOTAResultsTranslator:
+    """Accumulates per-image GT + detections, writes the devkit layout on
+    ``save()``. ``flip_coor`` swaps (row, col) -> (x, y) to match the
+    devkit's coordinate convention (reference behaviour preserved)."""
+
     def __init__(self, dataset: str, subset: str, results_dir: str, det_type: str,
                  all_classes: List[str], postfix: str = ""):
-        assert det_type in ["obb", "hbb"]
+        assert det_type in ("obb", "hbb")
         self.det_type = det_type
-        self.det_dir = os.path.join(results_dir, "dota" + postfix, "det")
-        self.annot_dir = os.path.join(results_dir, "dota" + postfix, "gt")
-        self.image_set = []
-        self.image_set_file = os.path.join(results_dir, "dota" + postfix, "imageSet.txt")
-        self.det_lines_per_cat = {k: [] for k in all_classes}
+        root = os.path.join(results_dir, "dota" + postfix)
+        self.det_dir = os.path.join(root, "det")
+        self.annot_dir = os.path.join(root, "gt")
+        self.image_set_file = os.path.join(root, "imageSet.txt")
+        self.image_set: List[str] = []
+        self.det_lines_per_cat = {c: [] for c in all_classes}
         make_if_not_exist([self.det_dir, self.annot_dir], recursive=True)
 
     def add_gt(self, image_id: int, difficulty: Union[List, np.ndarray],
                polygons: np.ndarray, categories, flip_coor=True):
         self.image_set.append(f"{image_id:04}")
-        lines = []
-        for i in range(len(polygons)):
-            p = np.asarray(polygons[i])
-            if flip_coor:
-                p = np.flip(p, axis=-1)
-            if self.det_type == "hbb":
-                xmin, ymin, xmax, ymax = dots4_to_rec4(p)
-                p = np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]])
-            p = p.astype(int)
-            coor_str = " ".join(str(a) for a in p.ravel())
-            lines.append(" ".join([coor_str, categories[i], str(int(difficulty[i]))]))
+        polys = np.asarray(polygons, np.float64).reshape(-1, 4, 2)
+        if flip_coor:
+            polys = polys[..., ::-1]
+        if self.det_type == "hbb":
+            polys = polys_to_hbb(polys)
+        coords = _coord_rows(polys.astype(int), "%d")
+        lines = [
+            f"{c} {cat} {int(bool(d))}"
+            for c, cat, d in zip(coords, categories, difficulty)
+        ]
         with open(os.path.join(self.annot_dir, f"{image_id:04}.txt"), "w") as f:
             f.write("\n".join(lines))
 
     def add_detections(self, image_id: int, scores, class_names,
                        polygons: np.ndarray = None, bbox=None, flip_coor=True):
-        n_det = len(polygons) if polygons is not None else len(bbox)
-        for i in range(n_det):
-            if polygons is not None:
-                p = np.asarray(polygons[i])
-                if flip_coor:
-                    p = np.flip(p, axis=-1)
-                coor_str = " ".join(f"{a:.1f}" for a in p.ravel())
-            elif bbox is not None:
-                if flip_coor:
-                    p = [bbox[i][1], bbox[i][0], bbox[i][3], bbox[i][2]]
-                else:
-                    p = [bbox[i][0], bbox[i][1], bbox[i][2], bbox[i][3]]
-                coor_str = " ".join(f"{a:.1f}" for a in p)
-            else:
-                raise ValueError
-            str_line = " ".join([f"{image_id:04}", str(scores[i]), coor_str])
-            self.det_lines_per_cat[class_names[i]].append(str_line)
+        if polygons is not None:
+            polys = np.asarray(polygons, np.float64).reshape(-1, 4, 2)
+            if flip_coor:
+                polys = polys[..., ::-1]
+            coords = _coord_rows(polys, "%.1f")
+        else:
+            # [r1, c1, r2, c2] boxes -> "x1 y1 x2 y2"
+            b = np.asarray(bbox, np.float64).reshape(-1, 4)
+            if flip_coor:
+                b = b[:, [1, 0, 3, 2]]
+            coords = [" ".join("%.1f" % v for v in row) for row in b]
+        for c, s, name in zip(coords, scores, class_names):
+            self.det_lines_per_cat[name].append(f"{image_id:04} {s} {c}")
 
     def save(self):
-        for class_name, det_class in self.det_lines_per_cat.items():
+        for class_name, det_lines in self.det_lines_per_cat.items():
             with open(os.path.join(self.det_dir, f"{class_name}.txt"), "w") as f:
-                f.write("\n".join(det_class))
+                f.write("\n".join(det_lines))
         with open(self.image_set_file, "w") as f:
             f.write("\n".join(self.image_set))

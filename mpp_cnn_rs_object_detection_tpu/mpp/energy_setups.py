@@ -74,10 +74,12 @@ class EnergySetup:
         raise NotImplementedError
 
     def make_kernel_data(self, data: ImageWMaps, intensity: float,
-                         kernel_weights=None) -> KernelData:
+                         kernel_weights=None,
+                         use_split_merge: bool = False) -> KernelData:
         return make_kernel_data(
             data.detection_map, data.param_dist_maps, data.mappings,
             intensity=intensity, kernel_weights=kernel_weights,
+            use_split_merge=use_split_merge,
         )
 
 

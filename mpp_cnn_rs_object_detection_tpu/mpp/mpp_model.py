@@ -283,10 +283,12 @@ class MPPModel(BaseModel):
             n_steps=rj_cfg.get("burn_in", 30000),
             t0=rj_cfg.get("init_temperature", 1.0),
             t_target=rj_cfg.get("target_temperature", 0.0),
-            alpha_t=rj_cfg.get("alpha_t", 0.999),
+            alpha_t=rj_cfg.get("alpha_t", 0.999),  # float | None | "auto"
             n_samples=rj_cfg.get("num_samples", 1),
             samples_interval=rj_cfg.get("samples_interval", 1),
+            iter_multiplier=rj_cfg.get("iter_multiplier"),
         )
+        use_split_merge = bool(rj_cfg.get("use_split_merge", False))
         max_score = self.config["inference"].get("max_score", 4.0)
 
         for patch_id in self._image_ids(subset):
@@ -317,6 +319,7 @@ class MPPModel(BaseModel):
                 seed=patch_id,
                 patch_size=self.patch_size,
                 capacity=self.capacity,
+                use_split_merge=use_split_merge,
                 sampler=self.config["inference"].get("sampler", "sequential"),
                 checkpoint_path=os.path.join(
                     results_dir, f"{patch_id:04}_chains.ck.npz"

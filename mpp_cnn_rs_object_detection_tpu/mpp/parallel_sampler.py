@@ -319,9 +319,14 @@ def run_parallel_chain(key, init_state: PointsState, maps: EnergyMaps,
     (state, _, energy, temp), (acc, prop) = jax.lax.scan(
         step, (init_state, cache0, u0, jnp.asarray(t0, jnp.float32)), keys
     )
+    n_kernels = kd.p_kernels.shape[0]
     stats = ChainStats(
-        accepted=jnp.zeros((8,)).at[0].set(jnp.sum(acc).astype(jnp.float32)),
-        proposed=jnp.zeros((8,)).at[0].set(jnp.sum(prop).astype(jnp.float32)),
+        accepted=jnp.zeros((n_kernels,)).at[0].set(
+            jnp.sum(acc).astype(jnp.float32)
+        ),
+        proposed=jnp.zeros((n_kernels,)).at[0].set(
+            jnp.sum(prop).astype(jnp.float32)
+        ),
         final_energy=energy,
         final_n_points=state.n_points,
         final_temperature=temp,

@@ -42,26 +42,54 @@ EPS = 1e-16
 @dataclass(frozen=True)
 class RJMCMCParams:
     """Static chain configuration (reference ``sample_rjmcmc.py:38-102`` and
-    the ``rjmcmc_params`` config block, e.g. ``model_configs/mpp/mpp_hrcM.json``)."""
+    the ``rjmcmc_params`` config block, e.g. ``model_configs/mpp/mpp_hrcM.json``).
+
+    ``alpha_t`` accepts a float, ``None``, or the string ``"auto"`` (reference
+    ``sample_rjmcmc.py:62-64``: reach ``t_target`` from ``t0`` in ``burn_in``
+    steps, then anneal on toward 0). ``iter_multiplier`` scales ``n_steps`` and
+    ``samples_interval`` while taking the matching root of ``alpha_t`` so the
+    temperature schedule covers the same range at finer granularity
+    (reference ``sample_rjmcmc.py:58-61``)."""
 
     n_steps: int = 30_000
     t0: float = 1.0
     t_target: float = 0.0
-    alpha_t: Optional[float] = 0.999
+    alpha_t: Optional[object] = 0.999
     n_samples: int = 1
     samples_interval: int = 128
+    iter_multiplier: Optional[float] = None
+
+    @property
+    def burn_in(self) -> int:
+        m = self.iter_multiplier or 1
+        return int(self.n_steps * m)
+
+    @property
+    def resolved_interval(self) -> int:
+        m = self.iter_multiplier or 1
+        return max(1, int(self.samples_interval * m))
 
     @property
     def total_steps(self) -> int:
-        return self.n_steps + (self.n_samples + 1) * self.samples_interval
+        return self.burn_in + (self.n_samples + 1) * self.resolved_interval
 
     def resolved_alpha(self) -> float:
-        """Auto annealing factor: reach t_target (+eps) in n_steps
-        (reference ``sample_rjmcmc.py:64-70``)."""
-        if self.alpha_t is not None:
-            return self.alpha_t
-        t_end = max(self.t_target, 1e-6)
-        return float(np.exp(np.log(t_end / self.t0) / self.n_steps))
+        """Annealing factor per move, with 'auto'/None resolving to the factor
+        that reaches t_target (+eps) in burn_in steps
+        (reference ``sample_rjmcmc.py:62-64``)."""
+        alpha = self.alpha_t
+        if alpha in (None, "auto"):
+            t_end = max(self.t_target, 1e-6)
+            return float(np.exp(np.log(t_end / self.t0) / self.burn_in))
+        alpha = float(alpha)
+        if self.iter_multiplier:
+            alpha = float(np.power(alpha, 1.0 / self.iter_multiplier))
+        return alpha
+
+    def resolved_t_target(self) -> float:
+        """'auto' alpha anneals past t_target toward 0
+        (reference ``sample_rjmcmc.py:62-64`` sets target_temperature = 0)."""
+        return 0.0 if self.alpha_t in (None, "auto") else self.t_target
 
 
 @flax.struct.dataclass
@@ -301,20 +329,72 @@ def make_step_fn(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
     return step
 
 
-@partial(jax.jit, static_argnames=("spec", "n_steps", "alpha_t", "t0", "t_target"))
+@partial(jax.jit, static_argnames=("spec", "n_steps", "alpha_t", "t0",
+                                   "t_target", "n_samples", "samples_interval",
+                                   "burn_in"))
 def run_chain(key, init_state: PointsState, maps: EnergyMaps, spec: EnergySpec,
               comb: EnergyCombiner, kd: KernelData, n_steps: int,
-              t0: float = 1.0, alpha_t: float = 0.999, t_target: float = 0.0
-              ) -> Tuple[PointsState, ChainStats]:
-    """Run one annealed chain for ``n_steps`` moves."""
+              t0: float = 1.0, alpha_t: float = 0.999, t_target: float = 0.0,
+              n_samples: int = 0, samples_interval: int = 1,
+              burn_in: int = 0, step_offset=0):
+    """Run one annealed chain for ``n_steps`` moves.
+
+    With ``n_samples > 0``, additionally collect post-burn-in states: the
+    state is recorded whenever the global step ``step_offset + i`` satisfies
+    ``step >= burn_in and step % samples_interval == 0`` (the reference
+    sampling rule, ``sample_rjmcmc.py:90-102``), into a rolling buffer keeping
+    the LAST ``n_samples`` states. Returns ``(state, stats)`` or
+    ``(state, stats, samples, n_collected)`` where ``samples`` is a
+    PointsState with leading axis ``n_samples`` (rolled oldest-first) and
+    ``n_collected`` counts sampling events in this launch (``step_offset``
+    lets segmented launches keep one global schedule)."""
     step = make_step_fn(maps, spec, comb, kd, alpha_t, t_target)
     cache0 = build_cache(init_state, maps, spec)
     u0 = energy_from_cache(init_state, maps, spec, comb, cache0)
     keys = jax.random.split(key, n_steps)
-    (state, _, energy, temp), (accepts, kernel_ids) = jax.lax.scan(
-        step, (init_state, cache0, u0, jnp.asarray(t0, jnp.float32)), keys
-    )
-    onehot = jax.nn.one_hot(kernel_ids, 8, dtype=jnp.float32)
+    carry0 = (init_state, cache0, u0, jnp.asarray(t0, jnp.float32))
+    n_kernels = kd.p_kernels.shape[0]
+
+    if n_samples == 0:
+        (state, _, energy, temp), (accepts, kernel_ids) = jax.lax.scan(
+            step, carry0, keys
+        )
+    else:
+        buf0 = jax.tree_util.tree_map(
+            lambda x: jnp.zeros((n_samples,) + x.shape, x.dtype), init_state
+        )
+
+        def step_sampling(carry, xs):
+            inner, buf, n_coll = carry
+            k, i = xs
+            inner, out = step(inner, k)
+            g = step_offset + i
+            take = (g >= burn_in) & (g % samples_interval == 0)
+            pos = n_coll % n_samples
+            buf = jax.tree_util.tree_map(
+                lambda b, s: jnp.where(
+                    take,
+                    jax.lax.dynamic_update_index_in_dim(b, s, pos, 0),
+                    b,
+                ),
+                buf,
+                inner[0],
+            )
+            return (inner, buf, n_coll + take.astype(jnp.int32)), out
+
+        ((state, _, energy, temp), buf, n_coll), (accepts, kernel_ids) = (
+            jax.lax.scan(
+                step_sampling,
+                (carry0, buf0, jnp.asarray(0, jnp.int32)),
+                (keys, jnp.arange(n_steps)),
+            )
+        )
+        # roll so the buffer reads oldest -> newest
+        samples = jax.tree_util.tree_map(
+            lambda b: jnp.roll(b, -(n_coll % n_samples), axis=0), buf
+        )
+
+    onehot = jax.nn.one_hot(kernel_ids, n_kernels, dtype=jnp.float32)
     stats = ChainStats(
         accepted=jnp.sum(onehot * accepts[:, None].astype(jnp.float32), axis=0),
         proposed=jnp.sum(onehot, axis=0),
@@ -322,7 +402,9 @@ def run_chain(key, init_state: PointsState, maps: EnergyMaps, spec: EnergySpec,
         final_n_points=state.n_points,
         final_temperature=temp,
     )
-    return state, stats
+    if n_samples == 0:
+        return state, stats
+    return state, stats, samples, n_coll
 
 
 def run_chains_batch(key, init_states: PointsState, maps: EnergyMaps,

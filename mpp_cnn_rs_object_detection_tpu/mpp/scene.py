@@ -93,6 +93,7 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                      params: RJMCMCParams, seed: int = 0, patch_size: int = 256,
                      min_overlap: int = 32, capacity: int = 256,
                      init: str = "naive", kernel_weights=None,
+                     use_split_merge: bool = False,
                      sampler: str = "sequential",
                      checkpoint_path: Optional[str] = None,
                      segment_size: int = 4096,
@@ -135,7 +136,8 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
         maps_list.append(setup.make_maps(p))
         kd_list.append(
             setup.make_kernel_data(p, intensity=intensity,
-                                   kernel_weights=kernel_weights)
+                                   kernel_weights=kernel_weights,
+                                   use_split_merge=use_split_merge)
         )
         init_list.append(state_from_arrays(c0, m0, capacity=capacity))
 
@@ -171,129 +173,223 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     keys = put(jax.random.split(jax.random.PRNGKey(seed), n_batch))
 
     alpha = params.resolved_alpha()
+    t_target = params.resolved_t_target()
     spec = setup.spec
+    n_samp = max(0, int(params.n_samples))
 
     if sampler == "parallel":
         # cell-parallel supersteps: same move budget in far fewer device
-        # steps (each superstep proposes ~(patch/(2*CELL)+1)^2 moves)
+        # steps (each superstep proposes ~(patch/(2*CELL)+1)^2 moves).
+        # Post-burn-in sample collection is a sequential-sampler feature; the
+        # parallel sampler returns its annealed final state.
         from mpp_cnn_rs_object_detection_tpu.mpp.parallel_sampler import (
             CELL,
             run_parallel_chain,
         )
 
         moves_per_superstep = max(1, (patch_size // (2 * CELL) + 1) ** 2 // 2)
-        n_super = max(1, params.total_steps // moves_per_superstep)
         alpha_super = float(np.power(alpha, moves_per_superstep))
+        n_samp = 0
 
-        def one_tile(key, st, maps, kd):
+        def one_tile(key, st, maps, kd, n_steps, t0, offset):
             final, stats = run_parallel_chain(
                 key, st, maps, spec, comb, kd,
-                n_supersteps=n_super, t0=params.t0,
-                alpha_t=alpha_super, t_target=params.t_target,
+                n_supersteps=n_steps, t0=t0,
+                alpha_t=alpha_super, t_target=t_target,
             )
             scores = papangelou(final, maps, spec, comb)
-            return final, scores, stats
+            empty = jnp.zeros((0,), jnp.int32)
+            return final, scores, stats, empty, jnp.asarray(0, jnp.int32)
 
+        # steps are counted in supersteps below
+        total = max(1, params.total_steps // moves_per_superstep)
+        seg = max(1, segment_size // moves_per_superstep)
+        alpha_per_step = alpha_super
     else:
 
-        def one_tile(key, st, maps, kd, n_steps, t0):
-            final, stats = run_chain(
-                key, st, maps, spec, comb, kd,
-                n_steps=n_steps, t0=t0,
-                alpha_t=alpha, t_target=params.t_target,
-            )
-            scores = papangelou(final, maps, spec, comb)
-            return final, scores, stats
-
-    if sampler == "parallel":
-        finals, scores_b, stats = jax.vmap(one_tile)(keys, init_b, maps_b, kd_b)
-    else:
-        # segment the annealing schedule AND chunk the tile axis: one giant
-        # scan x wide tile-vmap crashes the (experimental) axon TPU worker
-        # (a single 25-tile x 4096-move launch faults it reproducibly, while
-        # 12-tile launches survive); several narrower, shorter launches with
-        # the temperature threaded through are equivalent. Chain state lives
-        # host-side between launches so a worker crash loses at most one
-        # segment of one chunk.
-        seg = segment_size
-        total = params.total_steps
-        chunk = max(1, max_tiles_per_launch)
-        if mesh is not None:
-            # keep every launch's tile axis divisible by the mesh
-            chunk = max(mesh.size, chunk - chunk % mesh.size)
-        n_chunks = -(-n_batch // chunk)
-        # writable host copies (np.asarray of a jax array is read-only)
-        xy_h = np.array(init_b.xy)
-        marks_h = np.array(init_b.marks)
-        alive_h = np.array(init_b.alive)
-        scores_h = np.zeros(alive_h.shape, np.float32)
-        done_arr = np.zeros(n_chunks, np.int64)
-        t0_arr = np.full(n_chunks, float(params.t0))
-        if checkpoint_path and os.path.exists(checkpoint_path):
-            ck = np.load(checkpoint_path)
-            if (
-                int(ck["n_tiles"]) == n_tiles
-                and int(ck["seed"]) == seed
-                and ck["xy"].shape[0] == n_batch
-                and ck["done"].shape == (n_chunks,)
-                and int(ck["done"].min()) < total
-            ):
-                xy_h, marks_h = ck["xy"].copy(), ck["marks"].copy()
-                alive_h = ck["alive"].copy()
-                scores_h = ck["scores"].copy()
-                done_arr = ck["done"].copy()
-                t0_arr = ck["t0"].copy()
-                logging.info(
-                    f"scene {data.name}: resuming chains at moves "
-                    f"{done_arr.tolist()}"
+        def one_tile(key, st, maps, kd, n_steps, t0, offset):
+            if n_samp > 0:
+                final, stats, samples, n_coll = run_chain(
+                    key, st, maps, spec, comb, kd,
+                    n_steps=n_steps, t0=t0,
+                    alpha_t=alpha, t_target=t_target,
+                    n_samples=n_samp,
+                    samples_interval=params.resolved_interval,
+                    burn_in=params.burn_in, step_offset=offset,
                 )
-        segments_run = 0
-        base_key = jax.random.PRNGKey(seed)
+            else:
+                final, stats = run_chain(
+                    key, st, maps, spec, comb, kd,
+                    n_steps=n_steps, t0=t0,
+                    alpha_t=alpha, t_target=t_target,
+                )
+                samples = jnp.zeros((0,), jnp.int32)
+                n_coll = jnp.asarray(0, jnp.int32)
+            scores = papangelou(final, maps, spec, comb)
+            return final, scores, stats, samples, n_coll
+
+        total = params.total_steps
+        seg = segment_size
+        alpha_per_step = alpha
+
+    # segment the annealing schedule AND chunk the tile axis: one giant
+    # scan x wide tile-vmap crashes the (experimental) axon TPU worker
+    # (a single 25-tile x 4096-move launch faults it reproducibly, while
+    # 12-tile launches survive); several narrower, shorter launches with
+    # the temperature threaded through are equivalent. Chain state lives
+    # host-side between launches so a worker crash loses at most one
+    # segment of one chunk.
+    chunk = max(1, max_tiles_per_launch)
+    if mesh is not None:
+        # keep every launch's tile axis divisible by the mesh
+        chunk = max(mesh.size, chunk - chunk % mesh.size)
+    n_chunks = -(-n_batch // chunk)
+    # writable host copies (np.asarray of a jax array is read-only)
+    xy_h = np.array(init_b.xy)
+    marks_h = np.array(init_b.marks)
+    alive_h = np.array(init_b.alive)
+    scores_h = np.zeros(alive_h.shape, np.float32)
+    done_arr = np.zeros(n_chunks, np.int64)
+    t0_arr = np.full(n_chunks, float(params.t0))
+    # rolling post-burn-in sample buffers (valid entries at the END,
+    # oldest -> newest — the run_chain convention)
+    s_xy = np.zeros((n_batch, n_samp) + xy_h.shape[1:], np.float32)
+    s_marks = np.zeros((n_batch, n_samp) + marks_h.shape[1:], np.float32)
+    s_alive = np.zeros((n_batch, n_samp) + alive_h.shape[1:], bool)
+    s_count = np.zeros(n_batch, np.int64)
+    # reject checkpoints from a different chain configuration: resuming with
+    # changed annealing params silently mixes schedules otherwise
+    fingerprint = np.array([
+        total, seg, float(alpha_per_step), float(t_target),
+        init_b.xy.shape[-2], n_samp, params.resolved_interval,
+    ], np.float64)
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        ck = np.load(checkpoint_path)
+        if (
+            int(ck["n_tiles"]) == n_tiles
+            and int(ck["seed"]) == seed
+            and ck["xy"].shape[0] == n_batch
+            and ck["done"].shape == (n_chunks,)
+            and int(ck["done"].min()) < total
+            and "fingerprint" in ck
+            and ck["fingerprint"].shape == fingerprint.shape
+            and bool(np.allclose(ck["fingerprint"], fingerprint))
+        ):
+            xy_h, marks_h = ck["xy"].copy(), ck["marks"].copy()
+            alive_h = ck["alive"].copy()
+            scores_h = ck["scores"].copy()
+            done_arr = ck["done"].copy()
+            t0_arr = ck["t0"].copy()
+            if "s_count" in ck and ck["s_xy"].shape == s_xy.shape:
+                s_xy, s_marks = ck["s_xy"].copy(), ck["s_marks"].copy()
+                s_alive, s_count = ck["s_alive"].copy(), ck["s_count"].copy()
+            logging.info(
+                f"scene {data.name}: resuming chains at moves "
+                f"{done_arr.tolist()}"
+            )
+        elif "fingerprint" not in ck or not bool(
+            np.allclose(ck.get("fingerprint", np.zeros(0)), fingerprint)
+        ):
+            logging.warning(
+                f"scene {data.name}: checkpoint params mismatch — restarting"
+            )
+    segments_run = 0
+    base_key = jax.random.PRNGKey(seed)
+    for ci in range(n_chunks):
+        if done_arr[ci] >= total:
+            continue
+        sl = slice(ci * chunk, min((ci + 1) * chunk, n_batch))
+        maps_c = jax.tree_util.tree_map(lambda x: x[sl], maps_b)
+        kd_c = jax.tree_util.tree_map(lambda x: x[sl], kd_b)
+        states_c = put(PointsState(
+            xy=jnp.asarray(xy_h[sl]), marks=jnp.asarray(marks_h[sl]),
+            alive=jnp.asarray(alive_h[sl]),
+        ))
+        while done_arr[ci] < total:
+            done, t0 = int(done_arr[ci]), float(t0_arr[ci])
+            n = min(seg, total - done)
+            # same key schedule as an unchunked run: split over the full
+            # tile batch, take this chunk's slice
+            key_seg = put(jax.random.split(
+                jax.random.fold_in(base_key, done), n_batch
+            )[sl])
+            states_c, scores_c, stats, samples_c, ncoll_c = jax.vmap(
+                lambda k, st, m, kd_: one_tile(
+                    k, st, m, kd_, n, t0, jnp.asarray(done, jnp.int32)
+                )
+            )(key_seg, states_c, maps_c, kd_c)
+            done_arr[ci] = done + n
+            t0_arr[ci] = max(float(t0 * alpha_per_step**n), t_target)
+            xy_h[sl] = np.asarray(states_c.xy)
+            marks_h[sl] = np.asarray(states_c.marks)
+            alive_h[sl] = np.asarray(states_c.alive)
+            scores_h[sl] = np.asarray(scores_c)
+            if n_samp > 0:
+                ncoll_np = np.asarray(ncoll_c)
+                if ncoll_np.max() > 0:
+                    seg_xy = np.asarray(samples_c.xy)
+                    seg_marks = np.asarray(samples_c.marks)
+                    seg_alive = np.asarray(samples_c.alive)
+                    for j in range(seg_xy.shape[0]):
+                        g = sl.start + j
+                        v_new = min(int(ncoll_np[j]), n_samp)
+                        if v_new == 0:
+                            continue
+                        v_old = min(int(s_count[g]), n_samp)
+                        cat = lambda h, s_: np.concatenate(
+                            [h[g, n_samp - v_old:] if v_old else h[g, :0],
+                             s_[j, n_samp - v_new:]], axis=0
+                        )[-n_samp:]
+                        kept_xy = cat(s_xy, seg_xy)
+                        kept_marks = cat(s_marks, seg_marks)
+                        kept_alive = cat(s_alive, seg_alive)
+                        kv = kept_xy.shape[0]
+                        s_xy[g, n_samp - kv:] = kept_xy
+                        s_marks[g, n_samp - kv:] = kept_marks
+                        s_alive[g, n_samp - kv:] = kept_alive
+                        s_count[g] += int(ncoll_np[j])
+            segments_run += 1
+            finished = bool((done_arr >= total).all())
+            if checkpoint_path and not finished:
+                np.savez(
+                    checkpoint_path, xy=xy_h, marks=marks_h,
+                    alive=alive_h, scores=scores_h, done=done_arr,
+                    t0=t0_arr, n_tiles=n_tiles, seed=seed,
+                    fingerprint=fingerprint, s_xy=s_xy, s_marks=s_marks,
+                    s_alive=s_alive, s_count=s_count,
+                )
+            if (
+                max_segments is not None
+                and segments_run >= max_segments
+                and not finished
+            ):
+                return None  # simulated crash mid-anneal
+    if n_samp > 0 and s_count.max() > 0:
+        # parity with the reference's ``return last_state[-num_samples:]``
+        # + ``results = [r[-1] ...]`` (sample_rjmcmc.py:99-102,
+        # mpp_model.py:264): the merged tile state is the LAST collected
+        # sample, rescored; tiles that never hit a sampling step (short
+        # custom schedules) keep their final annealed state.
+        sampled = s_count > 0
+        xy_h = np.where(sampled[:, None, None], s_xy[:, -1], xy_h)
+        marks_h = np.where(sampled[:, None, None], s_marks[:, -1], marks_h)
+        alive_h = np.where(sampled[:, None], s_alive[:, -1], alive_h)
         for ci in range(n_chunks):
-            if done_arr[ci] >= total:
-                continue
             sl = slice(ci * chunk, min((ci + 1) * chunk, n_batch))
+            if not np.any(sampled[sl]):
+                continue
             maps_c = jax.tree_util.tree_map(lambda x: x[sl], maps_b)
-            kd_c = jax.tree_util.tree_map(lambda x: x[sl], kd_b)
-            states_c = put(PointsState(
+            st_c = put(PointsState(
                 xy=jnp.asarray(xy_h[sl]), marks=jnp.asarray(marks_h[sl]),
                 alive=jnp.asarray(alive_h[sl]),
             ))
-            while done_arr[ci] < total:
-                done, t0 = int(done_arr[ci]), float(t0_arr[ci])
-                n = min(seg, total - done)
-                # same key schedule as an unchunked run: split over the full
-                # tile batch, take this chunk's slice
-                key_seg = put(jax.random.split(
-                    jax.random.fold_in(base_key, done), n_batch
-                )[sl])
-                states_c, scores_c, stats = jax.vmap(
-                    lambda k, st, m, kd_: one_tile(k, st, m, kd_, n, t0)
-                )(key_seg, states_c, maps_c, kd_c)
-                done_arr[ci] = done + n
-                t0_arr[ci] = max(float(t0 * alpha**n), params.t_target)
-                xy_h[sl] = np.asarray(states_c.xy)
-                marks_h[sl] = np.asarray(states_c.marks)
-                alive_h[sl] = np.asarray(states_c.alive)
-                scores_h[sl] = np.asarray(scores_c)
-                segments_run += 1
-                finished = bool((done_arr >= total).all())
-                if checkpoint_path and not finished:
-                    np.savez(
-                        checkpoint_path, xy=xy_h, marks=marks_h,
-                        alive=alive_h, scores=scores_h, done=done_arr,
-                        t0=t0_arr, n_tiles=n_tiles, seed=seed,
-                    )
-                if (
-                    max_segments is not None
-                    and segments_run >= max_segments
-                    and not finished
-                ):
-                    return None  # simulated crash mid-anneal
-        finals = PointsState(xy=xy_h, marks=marks_h, alive=alive_h)
-        scores_b = scores_h
-        if checkpoint_path and os.path.exists(checkpoint_path):
-            os.remove(checkpoint_path)
+            scores_h[sl] = np.asarray(jax.vmap(
+                lambda st, m: papangelou(st, m, spec, comb)
+            )(st_c, maps_c))
+    finals = PointsState(xy=xy_h, marks=marks_h, alive=alive_h)
+    scores_b = scores_h
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)
 
     # host-side merge
     centers_list, marks_list, scores_list = [], [], []

@@ -65,8 +65,12 @@ def _chunked_energy_vectors(states_b: PointsState, maps: EnergyMaps, spec,
     s = states_b.xy.shape[0]
     pad = (-s) % chunk
     if pad:
+        # repeat the last config (not x[:pad] — that underfills when S < pad)
         states_b = jax.tree_util.tree_map(
-            lambda x: jnp.concatenate([x, x[:pad]], axis=0), states_b
+            lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0
+            ),
+            states_b,
         )
     grouped = jax.tree_util.tree_map(
         lambda x: x.reshape((s + pad) // chunk, chunk, *x.shape[1:]),

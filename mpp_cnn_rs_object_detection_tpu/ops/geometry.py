@@ -302,6 +302,20 @@ def quad_intersection_area_matrix(polys_a: Array, polys_b: Array) -> Array:
                 lambda qb: convex_quad_intersection_area(qa, qb)
             )(pb)
         )(pa)
+    row_chunk = 1024
+    if pa.shape[0] > row_chunk:
+        # scene-level Ka (thousands): the candidate-major impl materialises
+        # several (24, Ka, Kb) f32 transients — multi-GB unchunked. Sequential
+        # row chunks keep peak memory at (24, row_chunk, Kb) while retaining
+        # the TPU-friendly layout within each chunk.
+        ka = pa.shape[0]
+        pad = (-ka) % row_chunk
+        pa_pad = jnp.concatenate([pa, pa[:1].repeat(pad, 0)]) if pad else pa
+        chunks = pa_pad.reshape(-1, row_chunk, 4, 2)
+        out = jax.lax.map(
+            lambda ch: _quad_intersection_area_matrix_impl(ch, pb), chunks
+        )
+        return out.reshape(-1, pb.shape[0])[:ka]
     return _quad_intersection_area_matrix_impl(pa, pb)
 
 

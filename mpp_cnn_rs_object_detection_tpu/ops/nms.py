@@ -10,34 +10,40 @@ from __future__ import annotations
 import numpy as np
 
 
+def iou_matrix(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    """All-pairs IoU of [x1, y1, x2, y2] boxes, inclusive-pixel convention
+    (+1 on extents, as the devkit's voc_eval measures overlap)."""
+    a = np.asarray(boxes_a, np.float64).reshape(-1, 4)
+    b = np.asarray(boxes_b, np.float64).reshape(-1, 4)
+    lo = np.maximum(a[:, None, :2], b[None, :, :2])
+    hi = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(hi - lo + 1.0, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0] + 1) * (a[:, 3] - a[:, 1] + 1)
+    area_b = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+    return inter / (area_a[:, None] + area_b[None, :] - inter)
+
+
 def nms(bounding_boxes, confidence_score, threshold, return_index=False):
-    """Greedy IoU NMS over [x1, y1, x2, y2] boxes (highest score first)."""
+    """Greedy IoU NMS over [x1, y1, x2, y2] boxes (highest score first).
+
+    One all-pairs IoU matrix up front, then a single suppression sweep in
+    score order — a candidate is kept iff no already-kept box overlaps it
+    with IoU >= threshold. Equivalent to the classic iterative formulation
+    on the small candidate sets this runs on (export / chain init)."""
     if len(bounding_boxes) == 0:
         return ([], [], []) if return_index else ([], [])
 
-    boxes = np.asarray(bounding_boxes, dtype=np.float64)
     score = np.asarray(confidence_score, dtype=np.float64)
-    start_x, start_y, end_x, end_y = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    areas = (end_x - start_x + 1) * (end_y - start_y + 1)
+    iou = iou_matrix(bounding_boxes, bounding_boxes)
+    order = np.argsort(-score, kind="stable")
+    kept = np.zeros(len(score), dtype=bool)
+    for i in order:
+        kept[i] = not np.any(iou[i, kept] >= threshold)
+    picked_index = [int(i) for i in order if kept[i]]
 
-    order = np.argsort(score)
-    picked_boxes, picked_score, picked_index = [], [], []
-    while order.size > 0:
-        index = order[-1]
-        picked_index.append(index)
-        picked_boxes.append(bounding_boxes[index])
-        picked_score.append(confidence_score[index])
-
-        x1 = np.maximum(start_x[index], start_x[order[:-1]])
-        x2 = np.minimum(end_x[index], end_x[order[:-1]])
-        y1 = np.maximum(start_y[index], start_y[order[:-1]])
-        y2 = np.minimum(end_y[index], end_y[order[:-1]])
-        w = np.maximum(0.0, x2 - x1 + 1)
-        h = np.maximum(0.0, y2 - y1 + 1)
-        intersection = w * h
-        ratio = intersection / (areas[index] + areas[order[:-1]] - intersection)
-        order = order[np.where(ratio < threshold)]
-
+    picked_boxes = [bounding_boxes[i] for i in picked_index]
+    picked_score = [confidence_score[i] for i in picked_index]
     if return_index:
         return picked_boxes, picked_score, picked_index
     return picked_boxes, picked_score

@@ -27,30 +27,31 @@ def sample_point_2d(img_shape: Tuple[int, int], size: int = 1,
     """Host-side sampler, drop-in equivalent of the reference function.
 
     Returns an (size, 2) array of (row, col) coordinates drawn from ``density``
-    (uniform if None), without replacement when a density is given.
+    (uniform if None), without replacement when a density/mask is given.
+    ``mask`` restricts a None density to mask-true pixels, and *excludes*
+    mask-true pixels from an explicit density (reference semantics).
     """
     if rng is None:
         rng = np.random.default_rng()
 
-    if density is None:
-        if mask is None:
-            coor_x = rng.choice(np.arange(0, img_shape[0]), size=size)
-            coor_y = rng.choice(np.arange(0, img_shape[1]), size=size)
-            return np.array([coor_x, coor_y]).T
-        density = mask / np.sum(mask)
-    else:
-        if not skip_normalization:
-            density = density / np.sum(density)
-        if mask is not None:
-            density = np.where(mask, 0.0, density)
-            density = density / np.sum(density)
+    if density is None and mask is None:
+        # fully uniform: independent row/col draws, with replacement
+        return rng.integers(
+            [0, 0], [img_shape[0], img_shape[1]], size=(size, 2)
+        )
 
-    ind = rng.choice(np.arange(img_shape[0] * img_shape[1]),
-                     p=np.asarray(density, dtype=np.float64).reshape(-1),
-                     size=size, replace=False)
-    coor_x = ind // img_shape[1]
-    coor_y = ind % img_shape[1]
-    return np.array([coor_x, coor_y]).T
+    # resolve a flat probability vector, then one weighted draw
+    if density is None:
+        p = np.asarray(mask, np.float64).ravel()
+    else:
+        p = np.asarray(density, np.float64).ravel()
+        if skip_normalization and mask is None:
+            p = p.copy()  # trusted pre-normalised input
+        if mask is not None:
+            p = np.where(np.asarray(mask).ravel(), 0.0, p)
+    p = p / p.sum()
+    flat = rng.choice(p.size, size=size, replace=False, p=p)
+    return np.stack(np.unravel_index(flat, img_shape), axis=-1)
 
 
 def density_cdf(density: jnp.ndarray) -> jnp.ndarray:

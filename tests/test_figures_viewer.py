@@ -190,3 +190,30 @@ def test_scene_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(resumed.centers, full.centers, atol=1e-5)
     np.testing.assert_allclose(resumed.scores, full.scores, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_scene_split_merge_auto_alpha_samples():
+    """A scene run with the 10-kernel mixture (use_split_merge), 'auto'
+    annealing, and post-burn-in sample collection exercises the full
+    chain-semantics surface (reference sample_rjmcmc.py:38-102)."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.energy_setups import (
+        NoCalibrationEnergySetup,
+    )
+    from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import RJMCMCParams
+    from mpp_cnn_rs_object_detection_tpu.mpp.scene import run_mpp_on_scene
+
+    data = _small_scene()
+    setup = NoCalibrationEnergySetup()
+    setup.calibrate([data], np.random.default_rng(0), save_path="")
+    comb = comb_lib.sum_combiner(setup.spec.names)
+    params = RJMCMCParams(
+        n_steps=150, t0=1.0, t_target=0.02, alpha_t="auto",
+        n_samples=2, samples_interval=8,
+    )
+    res = run_mpp_on_scene(
+        data, setup, comb, params, seed=5, patch_size=32, min_overlap=8,
+        capacity=8, use_split_merge=True,
+    )
+    assert res is not None
+    assert np.all(np.isfinite(res.scores))
+    assert res.centers.shape[1] == 2 and res.marks.shape[1] == 3

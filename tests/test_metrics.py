@@ -178,3 +178,120 @@ def test_pr_curve_on_detection_map():
     i = np.argmin(np.abs(thr - 0.85))
     assert m["precision"][i] == 1.0
     assert m["recall"][i] > 0
+
+
+def _referee_voc_eval(gt_by_img, det_list, ovthresh, use_07=False):
+    """Independent re-statement of the devkit voc_eval matching rules
+    (``DOTA_devkit/dota_evaluation_task1.py``): dets in descending score;
+    each det matches its argmax-IoU GT **including difficult ones**; above
+    threshold a difficult match is ignored (neither tp nor fp), a fresh
+    non-difficult match is tp, a re-match is fp; below threshold is fp.
+    Shares only the (OpenCV-golden-tested) IoU primitive with the product
+    evaluator — the matching logic here is written from the rules."""
+    from mpp_cnn_rs_object_detection_tpu.metrics.dota_eval import voc_ap
+    from mpp_cnn_rs_object_detection_tpu.metrics.polyiou import poly_iou
+
+    npos = sum(
+        int(not d) for recs in gt_by_img.values() for (_, d) in recs
+    )
+    matched = {img: set() for img in gt_by_img}
+    tp, fp = [], []
+    for img, score, poly in sorted(det_list, key=lambda r: -r[1]):
+        recs = gt_by_img.get(img, [])
+        ious = [poly_iou(poly, g) for (g, _) in recs]
+        best = int(np.argmax(ious)) if ious else -1
+        if best >= 0 and ious[best] > ovthresh:
+            g_poly, g_diff = recs[best]
+            if g_diff:
+                continue  # ignored: no tp, no fp
+            if best in matched[img]:
+                fp.append(1.0); tp.append(0.0)
+            else:
+                matched[img].add(best)
+                tp.append(1.0); fp.append(0.0)
+        else:
+            fp.append(1.0); tp.append(0.0)
+    tp_c, fp_c = np.cumsum(tp), np.cumsum(fp)
+    rec = tp_c / max(npos, 1)
+    prec = tp_c / np.maximum(tp_c + fp_c, 1e-300)
+    return voc_ap(rec, prec, use_07)
+
+
+def _rand_quad(rng, cx, cy, s, ratio, angle):
+    from mpp_cnn_rs_object_detection_tpu.ops.geometry import rect_to_poly_np
+
+    return rect_to_poly_np(
+        np.array([[cy, cx]], np.float64), np.array([s * ratio]),
+        np.array([s]), np.array([angle]),
+    )[0]
+
+
+def test_voc_eval_matches_independent_referee(tmp_path):
+    """Randomized golden check of the evaluator's matching semantics —
+    duplicates, difficult gating via the argmax (devkit tie-break), misses —
+    against an independently-written referee (VERDICT: evaluator parity)."""
+    rng = np.random.default_rng(11)
+    gt_dir = tmp_path / "gt"; det_dir = tmp_path / "det"
+    gt_dir.mkdir(); det_dir.mkdir()
+    images = ["0000", "0001", "0002"]
+    gt_by_img = {}
+    det_list = []
+    det_lines = []
+    for img in images:
+        n_gt = int(rng.integers(3, 8))
+        recs = []
+        lines = []
+        for g in range(n_gt):
+            cx, cy = rng.uniform(20, 200, 2)
+            poly = _rand_quad(rng, cx, cy, rng.uniform(8, 16),
+                              rng.uniform(1.2, 2.5), rng.uniform(0, np.pi))
+            diff = bool(rng.random() < 0.25)
+            recs.append((poly, diff))
+            lines.append(
+                " ".join(str(int(v)) for v in poly.ravel())
+                + f" vehicle {int(diff)}"
+            )
+            # noisy matching det + occasional duplicate
+            for _ in range(1 + int(rng.random() < 0.4)):
+                jit = rng.normal(0, 2.0, poly.shape)
+                # round to the det-file precision so the referee and the
+                # file-parsing evaluator see identical coordinates
+                dpoly = np.round(poly + jit, 1)
+                score = float(rng.random())
+                det_list.append((img, score, dpoly))
+                det_lines.append(
+                    f"{img} {score} "
+                    + " ".join(f"{v:.1f}" for v in dpoly.ravel())
+                )
+        # pure false positives
+        for _ in range(2):
+            cx, cy = rng.uniform(300, 400, 2)
+            dpoly = _rand_quad(rng, cx, cy, 10, 1.5, 0.3)
+            score = float(rng.random())
+            det_list.append((img, score, dpoly))
+            det_lines.append(
+                f"{img} {score} "
+                + " ".join(f"{v:.1f}" for v in dpoly.ravel())
+            )
+        gt_by_img[img] = recs
+        (gt_dir / f"{img}.txt").write_text("\n".join(lines))
+    (det_dir / "vehicle.txt").write_text("\n".join(det_lines))
+    (tmp_path / "imageSet.txt").write_text("\n".join(images))
+
+    # gt files round-trip through int coords; referee must see the same ints
+    gt_by_img_int = {
+        img: [(np.asarray(p, np.float64).astype(int).astype(np.float64), d)
+              for (p, d) in recs]
+        for img, recs in gt_by_img.items()
+    }
+    for iou_t in (0.25, 0.5, 0.75):
+        _, _, ap = voc_eval(
+            detpath=str(det_dir / "{:s}.txt"),
+            annopath=str(gt_dir / "{:s}.txt"),
+            imagesetfile=str(tmp_path / "imageSet.txt"),
+            classname="vehicle",
+            ovthresh=iou_t,
+        )
+        ap_ref = _referee_voc_eval(gt_by_img_int, det_list, iou_t)
+        np.testing.assert_allclose(ap, ap_ref, atol=1e-9,
+                                   err_msg=f"IoU {iou_t}")

@@ -304,3 +304,65 @@ def test_rjmcmc_batch(setup):
     # chains are independent: different outcomes
     assert len({int(n) for n in np.asarray(stats.final_n_points)}) >= 1
     assert np.all(np.asarray(stats.final_energy) <= 0.0)
+
+
+def test_params_auto_alpha_and_multiplier():
+    # 'auto' reaches t_target in burn_in steps, then anneals toward 0
+    # (reference sample_rjmcmc.py:62-64)
+    p = RJMCMCParams(n_steps=1000, t0=1.0, t_target=0.05, alpha_t="auto")
+    a = p.resolved_alpha()
+    np.testing.assert_allclose(a**1000, 0.05, rtol=1e-6)
+    assert p.resolved_t_target() == 0.0
+    # iter_multiplier scales steps and takes the matching root of alpha
+    # (reference sample_rjmcmc.py:58-61)
+    m = RJMCMCParams(n_steps=1000, alpha_t=0.999, samples_interval=8,
+                     n_samples=2, iter_multiplier=2.0)
+    assert m.burn_in == 2000 and m.resolved_interval == 16
+    assert m.total_steps == 2000 + 3 * 16
+    np.testing.assert_allclose(m.resolved_alpha() ** 2, 0.999, rtol=1e-12)
+    # plain float passes through
+    assert RJMCMCParams(alpha_t=0.99).resolved_alpha() == 0.99
+
+
+def test_run_chain_collects_samples(setup):
+    maps, kd, mappings, det, centers = setup
+    comb = _hrc_combiner()
+    init = empty_state(capacity=16)
+    key = jax.random.PRNGKey(3)
+    n_steps, interval, burn_in, n_samples = 200, 1, 150, 3
+    final, stats, samples, n_coll = run_chain(
+        key, init, maps, LEGACY_SPEC, comb, kd,
+        n_steps=n_steps, t0=1.0, alpha_t=0.99, t_target=0.0,
+        n_samples=n_samples, samples_interval=interval, burn_in=burn_in,
+    )
+    # sampling rule: g >= burn_in and g % interval == 0 (reference
+    # sample_rjmcmc.py:90-102)
+    assert int(n_coll) == n_steps - burn_in
+    assert samples.xy.shape == (n_samples, 16, 2)
+    # interval=1 and burn_in < n_steps: the last sample IS the final state
+    np.testing.assert_array_equal(np.asarray(samples.xy[-1]),
+                                  np.asarray(final.xy))
+    np.testing.assert_array_equal(np.asarray(samples.alive[-1]),
+                                  np.asarray(final.alive))
+    # earlier samples are valid states too (alive mask boolean, finite xy)
+    assert np.all(np.isfinite(np.asarray(samples.xy)))
+
+
+def test_run_chain_sampling_respects_burn_in(setup):
+    maps, kd, mappings, det, centers = setup
+    comb = _hrc_combiner()
+    init = empty_state(capacity=16)
+    # no step reaches burn_in -> nothing collected
+    _, _, samples, n_coll = run_chain(
+        jax.random.PRNGKey(4), init, maps, LEGACY_SPEC, comb, kd,
+        n_steps=50, alpha_t=0.99, n_samples=2, samples_interval=8,
+        burn_in=1000,
+    )
+    assert int(n_coll) == 0
+    # step_offset shifts the global schedule (segmented launches)
+    _, _, _, n_coll2 = run_chain(
+        jax.random.PRNGKey(4), init, maps, LEGACY_SPEC, comb, kd,
+        n_steps=50, alpha_t=0.99, n_samples=2, samples_interval=8,
+        burn_in=1000, step_offset=1000,
+    )
+    assert int(n_coll2) == 7  # g in {1000,1008,...,1048}
