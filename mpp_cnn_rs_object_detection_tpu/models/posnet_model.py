@@ -88,6 +88,9 @@ class PosNetModel(BaseModel, PatchBasedTrainer):
         self.use_div_clf = bool(self.config.get("div_clf_model"))
         self.depth = len(self.config["model"]["hidden_dims"]) - 1
 
+        self.use_device_pipeline = bool(
+            self.config["data_loader"].get("device_pipeline")
+        )
         net_dtype = (
             jnp.bfloat16
             if self.config["model"].get("dtype", "bfloat16") == "bfloat16"
@@ -134,7 +137,10 @@ class PosNetModel(BaseModel, PatchBasedTrainer):
         self.label_processor_val = label_processor
 
         if train:
-            self.__init_data__(reuse_data=reuse_data)
+            if self.use_device_pipeline:
+                self.__init_data_device__()
+            else:
+                self.__init_data__(reuse_data=reuse_data)
 
     # ------------------------------------------------------------------ steps
 
@@ -183,6 +189,25 @@ class PosNetModel(BaseModel, PatchBasedTrainer):
         self.train_epoch_fn = make_train_epoch_fn(apply_loss, self.tx)
         self.eval_epoch_fn = make_eval_epoch_fn(apply_loss)
 
+        if self.use_device_pipeline:
+            from mpp_cnn_rs_object_detection_tpu.data.device_pipeline import (
+                pos_targets,
+            )
+            from mpp_cnn_rs_object_detection_tpu.models.train_utils import (
+                make_device_epoch_fns,
+            )
+
+            p = self.config["data_loader"]["patch_maker_params"]["patch_size"]
+            max_d = self.max_distance
+            sig = loss_cfg.get("bin_map_dil") or 0.6
+
+            def target_fn(cen, par, val):
+                return pos_targets(cen, par, val, p, max_d, sigma_dil=sig)
+
+            self.device_train_epoch, self.device_eval_epoch = (
+                make_device_epoch_fns(apply_loss, self.tx, target_fn)
+            )
+
     # ------------------------------------------------------------------ train
 
     def train_epoch(self, loader):
@@ -201,6 +226,12 @@ class PosNetModel(BaseModel, PatchBasedTrainer):
         return {k: list(np.asarray(v)) for k, v in metrics.items()}
 
     def train(self):
+        if self.use_device_pipeline:
+            # hard mining (error densities) stays a host-pipeline feature;
+            # the device path covers the shipped configs (no
+            # error_update_interval)
+            self._train_device()
+            return
         rescale_fac = 1 / 8
         for epoch in range(self.last_epoch, self.n_epochs):
             train_metrics = mean_metrics(self.train_epoch(self.train_loader))

@@ -82,6 +82,9 @@ class ShapeNetModel(BaseModel, PatchBasedTrainer):
             size_max=map_cfg.get("size_mapping_max", 32.0),
         )
 
+        self.use_device_pipeline = bool(
+            self.config["data_loader"].get("device_pipeline")
+        )
         net_dtype = (
             jnp.bfloat16
             if self.config["model"].get("dtype", "bfloat16") == "bfloat16"
@@ -125,7 +128,10 @@ class ShapeNetModel(BaseModel, PatchBasedTrainer):
         self.label_processor_val = label_processor
 
         if train:
-            self.__init_data__(reuse_data=reuse_data)
+            if self.use_device_pipeline:
+                self.__init_data_device__()
+            else:
+                self.__init_data__(reuse_data=reuse_data)
 
     # ------------------------------------------------------------------ steps
 
@@ -158,6 +164,28 @@ class ShapeNetModel(BaseModel, PatchBasedTrainer):
         self.train_epoch_fn = make_train_epoch_fn(apply_loss, self.tx)
         self.eval_epoch_fn = make_eval_epoch_fn(apply_loss)
 
+        if self.use_device_pipeline:
+            from mpp_cnn_rs_object_detection_tpu.data.device_pipeline import (
+                shape_targets,
+            )
+            from mpp_cnn_rs_object_detection_tpu.models.train_utils import (
+                make_device_epoch_fns,
+            )
+
+            p = self.config["data_loader"]["patch_maker_params"]["patch_size"]
+            mappings = self.mappings
+            mask_mode = loss_cfg.get("mask_mode", "shapes")
+            mask_sigma = loss_cfg.get("mask_sigma") or "auto"
+
+            def target_fn(cen, par, val):
+                return shape_targets(cen, par, val, p, mappings,
+                                     mask_mode=mask_mode,
+                                     mask_sigma=mask_sigma)
+
+            self.device_train_epoch, self.device_eval_epoch = (
+                make_device_epoch_fns(apply_loss, self.tx, target_fn)
+            )
+
     # ------------------------------------------------------------------ train
 
     def train_epoch(self, loader):
@@ -176,6 +204,9 @@ class ShapeNetModel(BaseModel, PatchBasedTrainer):
         return {k: list(np.asarray(v)) for k, v in metrics.items()}
 
     def train(self):
+        if self.use_device_pipeline:
+            self._train_device()
+            return
         from mpp_cnn_rs_object_detection_tpu.data.patch_making import (
             make_patch_dataset,
         )

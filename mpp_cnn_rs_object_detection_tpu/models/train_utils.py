@@ -128,6 +128,65 @@ def make_train_epoch_fn(apply_loss: Callable, tx: optax.GradientTransformation):
     return epoch
 
 
+def make_device_epoch_fns(apply_loss: Callable,
+                          tx: optax.GradientTransformation,
+                          target_fn: Callable):
+    """Epoch functions over a device-resident ``PatchStack``: batches are
+    gathered from the resident uint8 stack, augmented (train only) and turned
+    into label targets entirely on-device — the host contributes only an index
+    permutation per epoch (see ``data/device_pipeline.py``)."""
+    from mpp_cnn_rs_object_detection_tpu.data.device_pipeline import (
+        augment_batch,
+    )
+
+    @jax.jit
+    def train_epoch(state: TrainState, images_u8, centers, params, valid,
+                    batch_idx, key):
+        keys = jax.random.split(key, batch_idx.shape[0])
+
+        def body(st, xs):
+            idx, k = xs
+            x, cen, par, v = augment_batch(
+                k, images_u8[idx], centers[idx], params[idx], valid[idx]
+            )
+            y = jax.vmap(target_fn)(cen, par, v)
+
+            def loss_fn(p):
+                return apply_loss(p, st.batch_stats, (x, y), True)
+
+            grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
+                st.params
+            )
+            updates, new_opt_state = tx.update(grads, st.opt_state, st.params)
+            return (
+                st.replace(
+                    step=st.step + 1,
+                    params=optax.apply_updates(st.params, updates),
+                    opt_state=new_opt_state,
+                    batch_stats=new_stats,
+                ),
+                metrics,
+            )
+
+        return jax.lax.scan(body, state, (batch_idx, keys))
+
+    @jax.jit
+    def eval_epoch(state: TrainState, images_u8, centers, params, valid,
+                   batch_idx):
+        def body(_, idx):
+            x = images_u8[idx].astype(jnp.float32) / 255.0
+            y = jax.vmap(target_fn)(centers[idx], params[idx], valid[idx])
+            _, (metrics, _) = apply_loss(
+                state.params, state.batch_stats, (x, y), False
+            )
+            return None, metrics
+
+        _, metrics = jax.lax.scan(body, None, batch_idx)
+        return metrics
+
+    return train_epoch, eval_epoch
+
+
 def make_eval_epoch_fn(apply_loss: Callable):
     @jax.jit
     def epoch(state: TrainState, batches):

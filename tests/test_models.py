@@ -149,3 +149,38 @@ def test_checkpoint_resume(workspace):
     leaves2 = jax.tree_util.tree_leaves(model2.state.params)
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_posnet_device_pipeline_trains(workspace):
+    """Device-resident pipeline (on-device augmentation + targets) trains and
+    checkpoints through the same surface as the host pipeline."""
+    from mpp_cnn_rs_object_detection_tpu.models.posnet_model import PosNetModel
+
+    cfg = _pos_config("pos_tiny_dev")
+    cfg["data_loader"]["device_pipeline"] = True
+    cfg["trainer"]["n_epochs"] = 2
+    model = PosNetModel(cfg, train=True, overwrite=True)
+    model.train()
+    assert os.path.exists(
+        os.path.join(model.save_path, "model.msgpack")
+    )
+    log = json.load(open(os.path.join(model.save_path, "log.json")))
+    assert len(log["train_loss"]) == 2
+    assert np.isfinite(log["train_loss"][-1]) and np.isfinite(
+        log["val_loss"][-1]
+    )
+
+
+def test_shapenet_device_pipeline_trains(workspace):
+    from mpp_cnn_rs_object_detection_tpu.models.shapenet_model import (
+        ShapeNetModel,
+    )
+
+    cfg = _shape_config("shape_tiny_dev")
+    cfg["data_loader"]["device_pipeline"] = True
+    cfg["trainer"]["n_epochs"] = 2
+    model = ShapeNetModel(cfg, train=True, overwrite=True)
+    model.train()
+    assert os.path.exists(os.path.join(model.save_path, "model.msgpack"))
+    log = json.load(open(os.path.join(model.save_path, "log.json")))
+    assert len(log["train_loss"]) == 2 and np.isfinite(log["train_loss"][-1])
