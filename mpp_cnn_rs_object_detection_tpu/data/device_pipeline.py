@@ -35,7 +35,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpp_cnn_rs_object_detection_tpu.data.dataset import (
-    extract_patch,
     load_annotation,
     load_image,
 )
@@ -98,6 +97,7 @@ def build_patch_stack(dataset: str, subset: str, n_patches: int,
 
     k = 0
     overflow = 0
+    half = patch_size // 2
     for i, (img_path, ann_path) in enumerate(
         zip(paths["images"], paths["annotations"])
     ):
@@ -108,14 +108,26 @@ def build_patch_stack(dataset: str, subset: str, n_patches: int,
         centers = np.asarray(ann["centers"], np.float64).reshape(-1, 2)
         params = np.asarray(ann["parameters"], np.float64).reshape(-1, 3)
         shape = np.array(image.shape[:2])
+        # pad ONCE (extract_patch re-pads the whole source image for every
+        # border patch — 90 GB of copies over a 16k-patch regeneration);
+        # afterwards each patch is a pure uint8 slice
+        padded_u8 = np.pad(
+            (np.clip(image, 0, 1) * 255).astype(np.uint8),
+            ((half, half), (half, half), (0, 0)),
+        )
         for _ in range(int(per_image[i])):
-            anchor = sampler.sample_patch_center(
-                image_id=i, shape=shape, centers=centers
+            anchor = np.asarray(
+                sampler.sample_patch_center(
+                    image_id=i, shape=shape, centers=centers
+                ),
+                int,
             )
-            patch, tl, off = extract_patch(image, anchor, patch_size)
-            imgs[k] = (np.clip(patch, 0, 1) * 255).astype(np.uint8)
+            imgs[k] = padded_u8[
+                anchor[0] : anchor[0] + patch_size,
+                anchor[1] : anchor[1] + patch_size,
+            ]
             if len(centers):
-                rel = centers + off - tl
+                rel = centers - anchor + half
                 keep = np.all((rel >= 0) & (rel < patch_size), axis=1)
                 idx = np.where(keep)[0][:max_objects]
                 overflow += int(keep.sum()) - len(idx)

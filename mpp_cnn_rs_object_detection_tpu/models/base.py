@@ -130,7 +130,8 @@ class PatchBasedTrainer:
         )
         if make_val:
             vstack = build_patch_stack(
-                self.dataset, "val", n_patches=max(pm["n_patches"] // 2, 64),
+                self.dataset, "val",
+                n_patches=max(pm.get("val_patches", pm["n_patches"] // 2), 64),
                 **common,
             )
             self._val_stack_dev = tuple(

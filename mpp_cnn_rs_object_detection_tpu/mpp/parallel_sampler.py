@@ -28,6 +28,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Tuple
 
+import flax
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -56,15 +57,49 @@ CELL = 64  # >= 2 * max interaction radius (32 px)
 P_BIRTH, P_DEATH, P_TRL, P_TRF = 0.25, 0.25, 0.25, 0.25
 
 
-def _cell_proposal(key, state: PointsState, kd: KernelData, maps: EnergyMaps,
-                   cell_density: Array, y0: Array, x0: Array,
+@flax.struct.dataclass
+class MapView:
+    """A (possibly row-sharded) device-local view of the sampling maps.
+
+    ``cell_density``: rows ``[row0_cd, row0_cd + R)`` of the normalised
+    detection map, zero-padded by CELL along x (columns shift by +CELL).
+    ``mark_dists``: (3, R_md, W, C) rows ``[row0_md, ...)`` of the mark
+    distributions. ``position``/``mark_maps``: same row window of the energy
+    maps (for candidate unary gathers). A single-device view covers all rows
+    (``row0_cd = -CELL`` for the both-sides-padded density, others 0); a
+    sharded view covers the device's band ± a CELL halo exchanged over ICI."""
+
+    cell_density: Array
+    mark_dists: Array
+    position: Array
+    mark_maps: Array
+    row0_cd: Array
+    row0_md: Array
+
+
+def make_local_view(kd: KernelData, maps: EnergyMaps) -> MapView:
+    """Whole-image view (single-device path)."""
+    return MapView(
+        cell_density=jnp.pad(
+            jnp.exp(kd.log_birth_density), ((CELL, CELL), (CELL, CELL))
+        ),
+        mark_dists=kd.mark_dists,
+        position=maps.position,
+        mark_maps=maps.mark_maps,
+        row0_cd=jnp.asarray(-CELL, jnp.int32),
+        row0_md=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _cell_proposal(key, state: PointsState, kd: KernelData, view: MapView,
+                   h: int, w: int, y0: Array, x0: Array,
                    free_slot: Array, free_ok: Array):
     """One MH proposal confined to the cell [y0, y0+CELL) x [x0, x0+CELL).
 
-    ``cell_density`` is the detection map zero-padded by CELL on each side;
-    births sample their pixel from the cell's window of it (the cell-local
-    analog of the reference's data-driven birth)."""
-    h, w = kd.log_birth_density.shape
+    Births sample their pixel from the cell's window of the detection
+    density (the cell-local analog of the reference's data-driven birth);
+    all map reads go through ``view`` so the same code runs on whole-image
+    and row-sharded blocks."""
     k_type, k_slot, k_pos, k_marks, k_delta, k_param = jax.random.split(key, 6)
 
     # valid in-image extent of this cell
@@ -98,7 +133,7 @@ def _cell_proposal(key, state: PointsState, kd: KernelData, maps: EnergyMaps,
 
     # ---- birth: position ~ cell-windowed detection density, data marks
     win = jax.lax.dynamic_slice(
-        cell_density, (y0 + CELL, x0 + CELL), (CELL, CELL)
+        view.cell_density, (y0 - view.row0_cd, x0 + CELL), (CELL, CELL)
     )
     win_sum = jnp.sum(win)
     win_prob = win / (win_sum + EPS)
@@ -107,15 +142,16 @@ def _cell_proposal(key, state: PointsState, kd: KernelData, maps: EnergyMaps,
     px = (x0 + cell_idx % CELL).astype(jnp.float32)
     byi = jnp.clip(py.astype(jnp.int32), 0, h - 1)
     bxi = jnp.clip(px.astype(jnp.int32), 0, w - 1)
+    byi_l = jnp.clip(byi - view.row0_md, 0, view.mark_dists.shape[1] - 1)
     log_q_pos = _log(win_prob.ravel()[cell_idx]) + _log(area)
-    rows = kd.mark_dists[:, byi, bxi, :]  # (3, C)
+    rows = view.mark_dists[:, byi_l, bxi, :]  # (3, C)
     mkeys = jax.random.split(k_marks, 3)
     cls = jnp.stack(
         [jax.random.categorical(mkeys[m], _log(rows[m])) for m in range(3)]
     )
     birth_marks = jnp.stack([_class_to_value(kd, m, cls[m]) for m in range(3)])
     log_q_marks = sum(_log(rows[m][cls[m]]) for m in range(3))
-    n_classes = kd.mark_dists.shape[-1]
+    n_classes = view.mark_dists.shape[-1]
     log_q_birth = log_q_pos + log_q_marks + 3 * jnp.log(float(n_classes))
     birth_fwd = _log(jnp.asarray(P_BIRTH)) + log_q_birth - _log(lam_cell)
     birth_back = _log(jnp.asarray(P_DEATH)) - _log(n_cell + 1.0)
@@ -127,7 +163,8 @@ def _cell_proposal(key, state: PointsState, kd: KernelData, maps: EnergyMaps,
         jnp.clip(state.xy[safe_slot, 0].astype(jnp.int32), 0, h - 1),
         jnp.clip(state.xy[safe_slot, 1].astype(jnp.int32), 0, w - 1),
     )
-    drows = kd.mark_dists[:, dyi, dxi, :]
+    dyi_l = jnp.clip(dyi - view.row0_md, 0, view.mark_dists.shape[1] - 1)
+    drows = view.mark_dists[:, dyi_l, dxi, :]
     from mpp_cnn_rs_object_detection_tpu.mpp.kernels import _value_to_class
 
     dcls = jnp.stack(
@@ -206,6 +243,193 @@ def _cell_proposal(key, state: PointsState, kd: KernelData, maps: EnergyMaps,
     return kind, slot, xy, marks, log_fwd, log_back
 
 
+def _unary_at(maps: EnergyMaps, spec: EnergySpec, xy: Array, marks: Array,
+              view: MapView = None, hw=None):
+    """Unary data columns for one candidate point at (xy, marks) — the
+    point-wise analog of ``energies.data_columns``. With ``view`` the gathers
+    read the device-local row blocks (sharded maps); ``maps`` still supplies
+    the replicated mapping scalars."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.energies import marks_to_class
+
+    if spec.data_term != "cnn":
+        from mpp_cnn_rs_object_detection_tpu.mpp.classic_energies import (
+            ContrastConfig,
+            contrast_energy_point,
+            gradient_energy_point,
+        )
+
+        if spec.data_term == "contrast":
+            cfg = spec.contrast or ContrastConfig()
+            val = contrast_energy_point(maps.image, xy, marks, cfg)
+        else:
+            val = gradient_energy_point(maps.image, xy, marks)
+        return val, jnp.zeros((3,), jnp.float32)
+    if view is None:
+        position, mark_maps = maps.position, maps.mark_maps
+        row0 = 0
+        h, w = maps.position.shape
+    else:
+        position, mark_maps = view.position, view.mark_maps
+        row0 = view.row0_md
+        h, w = hw
+    xi = jnp.clip(xy[0].astype(jnp.int32), 0, h - 1)
+    yi = jnp.clip(xy[1].astype(jnp.int32), 0, w - 1)
+    xi_l = jnp.clip(xi - row0, 0, position.shape[0] - 1)
+    pos = position[xi_l, yi]
+    cls = marks_to_class(marks, maps)
+    mark = jnp.stack([mark_maps[m, xi_l, yi, cls[m]] for m in range(3)])
+    return pos, mark
+
+
+def _vec_cols(spec: EnergySpec, maps: EnergyMaps, pos, mark3, ov, al, area,
+              ratio_mark):
+    """Assemble a per-point energy vector in ``energy_from_cache`` column
+    order (works for (K,)-shaped columns or scalars)."""
+    area_prior = jnp.maximum(
+        0.0, jnp.maximum(maps.min_area - area, area - maps.max_area)
+    )
+    cols = [pos]
+    if spec.data_term == "cnn":
+        if spec.shape_mode == "mean":
+            cols.append(jnp.mean(mark3, axis=-1))
+        else:
+            cols.extend([mark3[..., 0], mark3[..., 1], mark3[..., 2]])
+    cols.extend([ov, al, area_prior])
+    if spec.use_ratio_prior:
+        cols.append(jnp.abs(maps.target_ratio - ratio_mark))
+    return jnp.stack(cols, axis=-1)
+
+
+def superstep_deltas(state: PointsState, cache: EnergyCache, maps: EnergyMaps,
+                     spec: EnergySpec, comb: EnergyCombiner,
+                     kinds, slots, xys, markss, view: MapView = None,
+                     hw=None):
+    """Exact ΔU of ``m`` single-slot proposals against the SAME base state,
+    in O(m*K) — no per-candidate cache copies.
+
+    The naive route (apply + refresh cache row + full ``energy_from_cache``)
+    materialises m copies of the (K, K) pair matrices: multi-GB at scene-level
+    K. Instead, per-point TOP-2 statistics of the masked overlap/align rows
+    (computed once per superstep) give every neighbour's leave-one-out reduced
+    term in O(1); inserting the candidate's fresh pair row then yields each
+    neighbour's new reduced term, and only the touched columns of its energy
+    vector are re-combined. Exactness is pinned against the brute-force delta
+    in tests. Valid for the parallel sampler's kinds (birth=1 / death=2 /
+    single-slot move=3)."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.combinators import (
+        combine as _combine,
+    )
+    from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
+        marks_to_poly,
+        quad_intersection_area_matrix,
+        rect_area,
+    )
+
+    k = state.capacity
+    eye = jnp.eye(k, dtype=bool)
+    alive = state.alive
+    alive_pair = alive[:, None] & alive[None, :] & ~eye
+    ov_mask = alive_pair & (cache.dist <= spec.overlap_max_dist)
+    al_mask = alive_pair & (cache.dist <= spec.align_max_dist)
+
+    def top2s(values, mask, sign):
+        v = jnp.where(mask, sign * values, -jnp.inf)
+        t1 = jnp.max(v, axis=1)
+        a1 = jnp.argmax(v, axis=1)
+        t2 = jnp.max(v.at[jnp.arange(k), a1].set(-jnp.inf), axis=1)
+        return t1, a1, t2  # sign-domain; -inf where no masked entry
+
+    ov_sign = 1.0
+    al_sign = -1.0 if spec.rewarding_align else 1.0
+    ov1, ov_a, ov2 = top2s(cache.overlap, ov_mask, ov_sign)
+    al1, al_a, al2 = top2s(cache.align, al_mask, al_sign)
+    ov_n = jnp.sum(ov_mask, axis=1)
+    al_n = jnp.sum(al_mask, axis=1)
+
+    idx = jnp.arange(k)
+    ov_red = jnp.where(ov_n > 0, ov_sign * ov1, 0.0)
+    al_red = jnp.where(al_n > 0, al_sign * al1, 0.0)
+    base_vec = _vec_cols(
+        spec, maps, cache.pos_e, cache.mark_e, ov_red, al_red, cache.areas,
+        state.marks[:, 1],
+    )
+    pp_raw = _combine(comb, base_vec)  # (K,) valid where alive
+    # column indices of the pair-reduced terms in the vector layout
+    n_data = 1 if spec.data_term != "cnn" else (
+        2 if spec.shape_mode == "mean" else 4
+    )
+    ov_col, al_col = n_data, n_data + 1
+
+    def delta_one(kind, slot, xy, marks):
+        s = jnp.clip(slot, 0, k - 1)
+        alive_s_new = kind != 2  # death clears; birth/move leave s alive
+
+        poly_s = marks_to_poly(
+            xy[None], marks[0][None], marks[1][None], marks[2][None]
+        )[0]
+        area_s = rect_area(marks[0], marks[1])
+        dist_row = jnp.linalg.norm(state.xy - xy[None, :], axis=-1)
+        inter_row = quad_intersection_area_matrix(poly_s[None], cache.polys)[0]
+        ov_row = inter_row / (jnp.minimum(cache.areas, area_s) + 1e-6)
+        al_row = (
+            1.0
+            - jnp.abs(jnp.cos(marks[2] - state.marks[:, 2]))
+            - float(spec.rewarding_align)
+        )
+        others = alive & (idx != s)
+        ov_new_mask = alive_s_new & others & (dist_row <= spec.overlap_max_dist)
+        al_new_mask = alive_s_new & others & (dist_row <= spec.align_max_dist)
+
+        def neighbour_red(t1, a1, t2, n, old_col, new_mask, new_vals, sign):
+            ext_wo = jnp.where((a1 == s) & old_col, t2, t1)
+            n_wo = n - old_col
+            ext_new = jnp.maximum(
+                ext_wo, jnp.where(new_mask, sign * new_vals, -jnp.inf)
+            )
+            n_new = n_wo + new_mask
+            return jnp.where(n_new > 0, sign * ext_new, 0.0)
+
+        ov_red_new = neighbour_red(
+            ov1, ov_a, ov2, ov_n, ov_mask[:, s], ov_new_mask, ov_row, ov_sign
+        )
+        al_red_new = neighbour_red(
+            al1, al_a, al2, al_n, al_mask[:, s], al_new_mask, al_row, al_sign
+        )
+        vec_new = base_vec.at[:, ov_col].set(ov_red_new)
+        vec_new = vec_new.at[:, al_col].set(al_red_new)
+        pp_new = _combine(comb, vec_new)
+        d_others = jnp.sum(jnp.where(others, pp_new - pp_raw, 0.0))
+
+        # the candidate slot itself
+        ov_s_n = jnp.sum(ov_new_mask)
+        al_s_n = jnp.sum(al_new_mask)
+        ov_s = jnp.where(
+            ov_s_n > 0,
+            ov_sign * jnp.max(
+                jnp.where(ov_new_mask, ov_sign * ov_row, -jnp.inf)
+            ),
+            0.0,
+        )
+        al_s = jnp.where(
+            al_s_n > 0,
+            al_sign * jnp.max(
+                jnp.where(al_new_mask, al_sign * al_row, -jnp.inf)
+            ),
+            0.0,
+        )
+        pos_s, mark_s = _unary_at(maps, spec, xy, marks, view=view, hw=hw)
+        vec_s = _vec_cols(spec, maps, pos_s, mark_s, ov_s, al_s, area_s,
+                          marks[1])
+        pp_s_new = jnp.where(
+            alive_s_new, _combine(comb, vec_s[None])[0], 0.0
+        )
+        pp_s_old = jnp.where(alive[s], pp_raw[s], 0.0)
+        return pp_s_new - pp_s_old + d_others
+
+    deltas = jax.vmap(delta_one)(kinds, slots, xys, markss)
+    return jnp.where(kinds == 0, 0.0, deltas)
+
+
 def _apply_one(state: PointsState, kind, slot, xy, marks) -> PointsState:
     slot = jnp.clip(slot, 0, state.capacity - 1)
     write = (kind == 1) | (kind == 3)
@@ -219,15 +443,56 @@ def _apply_one(state: PointsState, kind, slot, xy, marks) -> PointsState:
     return state.replace(xy=new_xy, marks=new_marks, alive=new_alive)
 
 
+def _row_update_provided(state: PointsState, spec: EnergySpec,
+                         cache: EnergyCache, slot, pos_s, mark_s
+                         ) -> EnergyCache:
+    """``rjmcmc.update_cache`` with the unary values supplied by the caller
+    instead of gathered from the maps — in the sharded superstep only the
+    owning device holds the candidate's map rows, so it computes the unary
+    once and every device applies it to its replicated cache; the geometry
+    rows need only the (replicated) state."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import _pair_row
+    from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
+        marks_to_poly,
+        rect_area,
+    )
+
+    poly_s = marks_to_poly(
+        state.xy[slot][None], state.marks[slot, 0][None],
+        state.marks[slot, 1][None], state.marks[slot, 2][None],
+    )[0]
+    area_s = rect_area(state.marks[slot, 0], state.marks[slot, 1])
+    polys = cache.polys.at[slot].set(poly_s)
+    areas = cache.areas.at[slot].set(area_s)
+    dist_row, ov_row, al_row = _pair_row(state, spec, slot, polys, areas)
+    return EnergyCache(
+        dist=cache.dist.at[slot, :].set(dist_row).at[:, slot].set(dist_row),
+        overlap=cache.overlap.at[slot, :].set(ov_row).at[:, slot].set(ov_row),
+        align=cache.align.at[slot, :].set(al_row).at[:, slot].set(al_row),
+        pos_e=cache.pos_e.at[slot].set(pos_s),
+        mark_e=cache.mark_e.at[slot].set(mark_s),
+        polys=polys,
+        areas=areas,
+    )
+
+
 def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
                        kd: KernelData, alpha_t: float, t_target: float,
-                       n_cells: int):
-    """Superstep over ``n_cells`` x ``n_cells`` active cells."""
-    h, w = kd.log_birth_density.shape
-    # detection density padded by CELL so jittered cell windows always slice
-    cell_density = jnp.pad(
-        jnp.exp(kd.log_birth_density), ((CELL, CELL), (CELL, CELL))
-    )
+                       n_cells: int, view: MapView = None, hw=None,
+                       axis_name: str = None, n_bands: int = 1):
+    """Superstep over ``n_cells`` x ``n_cells`` active cells.
+
+    With ``axis_name`` set the step runs inside ``shard_map`` over ``n_bands``
+    row bands: every device evaluates the global cell grid against its local
+    ``view`` but only trusts ("owns") cells whose clipped midpoint row falls
+    in its band; the per-cell records (proposal + ΔU + unary + accept) are
+    psum-combined over the mesh and every device applies the identical
+    accepted set to its replicated state/cache — cross-band pair energies are
+    EXACT because the state is global, while the O(H*W) maps stay sharded."""
+    h, w = hw if hw is not None else kd.log_birth_density.shape
+    if view is None:
+        view = make_local_view(kd, maps)
+    band_h = h // n_bands
 
     def step(carry, key):
         state, cache, energy, temp = carry
@@ -238,6 +503,12 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
         y0s = off[0] + 2 * CELL * (ids[:, None].repeat(n_cells, 1)).ravel()
         x0s = off[1] + 2 * CELL * (ids[None, :].repeat(n_cells, 0)).ravel()
         m = y0s.shape[0]
+
+        if axis_name is None:
+            owned = jnp.ones((m,), bool)
+        else:
+            mid = jnp.clip(y0s + CELL // 2, 0, h - 1)
+            owned = (mid // band_h) == jax.lax.axis_index(axis_name)
 
         # distinct free slots for potential births: the r-th cell gets the
         # r-th free slot (rank via cumsum of dead mask)
@@ -256,31 +527,50 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
         keys = jax.random.split(k_cells, m)
         kinds, slots, xys, markss, log_fwds, log_backs = jax.vmap(
             lambda k, y0, x0, fs, fo: _cell_proposal(
-                k, state, kd, maps, cell_density, y0, x0, fs, fo
+                k, state, kd, view, h, w, y0, x0, fs, fo
             )
         )(keys, y0s, x0s, free_slots, free_oks)
 
-        # per-proposal ΔU (exact; proposals are pairwise non-interacting)
-        def delta_of(kind, slot, xy, marks):
-            st_i = _apply_one(state, kind, slot, xy, marks)
-            ca_i = _row_updated(st_i, cache, jnp.clip(slot, 0, state.capacity - 1))
-            u_i = energy_from_cache(st_i, maps, spec, comb, ca_i)
-            return u_i - energy
-
-        deltas = jax.vmap(delta_of)(kinds, slots, xys, markss)
-        deltas = jnp.where(kinds == 0, 0.0, deltas)
+        # per-proposal ΔU (exact; proposals are pairwise non-interacting);
+        # top-2 incremental form — O(m*K), no per-candidate cache copies
+        deltas = superstep_deltas(
+            state, cache, maps, spec, comb, kinds, slots, xys, markss,
+            view=view, hw=(h, w),
+        )
+        pos_us, mark_us = jax.vmap(
+            lambda xy, mk: _unary_at(maps, spec, xy, mk, view=view, hw=(h, w))
+        )(xys, markss)
 
         log_alpha = -deltas / temp + log_backs - log_fwds
         accept = (
             (jnp.log(jax.random.uniform(k_acc, (m,)) + EPS) < log_alpha)
             & (kinds != 0)
+            & owned
         )
+
+        if axis_name is not None:
+            # combine per-cell records over the mesh: each lane has exactly
+            # one owner, so a masked psum reconstructs the global record set
+            def merge(x, is_bool=False):
+                mask = owned.reshape((m,) + (1,) * (x.ndim - 1))
+                y = jnp.where(mask, x.astype(jnp.int32) if is_bool else x, 0)
+                y = jax.lax.psum(y, axis_name)
+                return y.astype(bool) if is_bool else y
+
+            kinds, slots = merge(kinds), merge(slots)
+            xys, markss = merge(xys), merge(markss)
+            deltas = merge(deltas)
+            pos_us, mark_us = merge(pos_us), merge(mark_us)
+            accept = merge(accept, is_bool=True)
 
         # apply accepted proposals sequentially (they touch disjoint slots)
         def body(i, sc):
             st, ca = sc
             st2 = _apply_one(st, kinds[i], slots[i], xys[i], markss[i])
-            ca2 = _row_updated(st2, ca, jnp.clip(slots[i], 0, st.capacity - 1))
+            slot_i = jnp.clip(slots[i], 0, st.capacity - 1)
+            ca2 = _row_update_provided(
+                st2, spec, ca, slot_i, pos_us[i], mark_us[i]
+            )
             return jax.tree_util.tree_map(
                 lambda a, b: jnp.where(accept[i], a, b), (st2, ca2), (st, ca)
             )
@@ -290,11 +580,6 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
         temp = jnp.where(temp > t_target, temp * alpha_t, temp)
         stats = (jnp.sum(accept), jnp.sum(kinds != 0))
         return (state, cache, energy, temp), stats
-
-    def _row_updated(st: PointsState, cache: EnergyCache, slot) -> EnergyCache:
-        from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import update_cache
-
-        return update_cache(st, maps, spec, cache, slot)
 
     return step
 

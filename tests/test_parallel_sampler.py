@@ -97,3 +97,59 @@ def test_parallel_matches_sequential_equilibrium():
     assert e_par < 0 and e_seq < 0
     # same order of magnitude of fit quality (both find the 5 objects)
     assert abs(int(seq_final.n_points) - int(par_final.n_points)) <= 2
+
+
+def test_superstep_deltas_exact_vs_bruteforce():
+    """The top-2 incremental ΔU must equal the brute-force delta
+    (apply + cache row refresh + full energy recompute) for every kind."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.parallel_sampler import (
+        _apply_one,
+        superstep_deltas,
+    )
+    from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import (
+        build_cache,
+        energy_from_cache,
+        update_cache,
+    )
+    from mpp_cnn_rs_object_detection_tpu.mpp.state import state_from_arrays
+
+    maps, kd, comb, det, centers = _setup()
+    rng = np.random.default_rng(5)
+    # a crowded state incl. interacting pairs and dead slots
+    xy = np.array(
+        [[30, 30], [33, 34], [30, 120], [100, 60], [101, 63], [130, 130],
+         [70, 100], [20, 20]], np.float32,
+    )
+    marks = np.tile(np.array([[6.0, 0.6, 0.4]], np.float32), (8, 1))
+    marks[1, 2] = 1.2
+    marks[4, 2] = 2.0
+    st = state_from_arrays(xy, marks, capacity=12)  # slots 8..11 dead
+    cache = build_cache(st, maps, LEGACY_SPEC)
+    u0 = energy_from_cache(st, maps, LEGACY_SPEC, comb, cache)
+
+    # proposals: birth into free slot, death, move (translate), transform
+    kinds = jnp.asarray([1, 2, 3, 3, 0], jnp.int32)
+    slots = jnp.asarray([9, 1, 4, 6, 2], jnp.int32)
+    xys = jnp.asarray(
+        [[31.0, 125.0], [33, 34], [99, 60], [70, 100], [0, 0]], jnp.float32
+    )
+    ms = jnp.asarray(
+        [[5.0, 0.5, 0.3], [6, 0.6, 0.4], [6, 0.6, 1.1], [7, 0.7, 0.4],
+         [1, 0.1, 0.1]],
+        jnp.float32,
+    )
+    fast = np.asarray(
+        superstep_deltas(st, cache, maps, LEGACY_SPEC, comb, kinds, slots,
+                         xys, ms)
+    )
+    for i in range(5):
+        if int(kinds[i]) == 0:
+            assert fast[i] == 0.0
+            continue
+        st_i = _apply_one(st, kinds[i], slots[i], xys[i], ms[i])
+        ca_i = update_cache(st_i, maps, LEGACY_SPEC, cache, slots[i])
+        u_i = energy_from_cache(st_i, maps, LEGACY_SPEC, comb, ca_i)
+        np.testing.assert_allclose(
+            fast[i], float(u_i - u0), rtol=1e-4, atol=1e-4,
+            err_msg=f"proposal {i} (kind {int(kinds[i])})",
+        )
