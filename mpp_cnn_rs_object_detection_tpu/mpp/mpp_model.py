@@ -297,14 +297,27 @@ class MPPModel(BaseModel):
                 logging.info(f"{out_pkl} exists, skipping")
                 continue
             data = self._load_image(patch_id, subset)
+            scene_mode = self.config["inference"].get("scene_mode", "tiled")
             mesh = None
-            if self.config["inference"].get("tile_mesh"):
-                # shard the tile batch over all local devices (multi-chip
-                # tile-data-parallel; no-op win on a single chip)
+            if self.config["inference"].get("tile_mesh") or (
+                scene_mode == "exact"
+                and self.config["inference"].get("scene_mesh")
+            ):
+                # multi-chip: tiled mode shards the independent-tile batch,
+                # exact mode row-shards the scene maps with halo-exact
+                # borders (parallel/sharded_scene.py)
                 from jax.sharding import Mesh
 
                 devs = jax.devices()
-                if len(devs) > 1:
+                if scene_mode == "exact":
+                    from mpp_cnn_rs_object_detection_tpu.mpp.parallel_sampler import (  # noqa: E501
+                        CELL,
+                    )
+
+                    n = min(len(devs), max(1, data.shape[0] // CELL))
+                    if n > 1:
+                        mesh = Mesh(np.asarray(devs[:n]), ("rows",))
+                elif len(devs) > 1:
                     mesh = Mesh(np.asarray(devs).reshape(-1), ("tiles",))
             # a TPU-worker crash mid-anneal is NOT retried in-process (the
             # axon client cannot reconnect once its worker dies); instead
@@ -321,6 +334,7 @@ class MPPModel(BaseModel):
                 capacity=self.capacity,
                 use_split_merge=use_split_merge,
                 sampler=self.config["inference"].get("sampler", "sequential"),
+                scene_mode=scene_mode,
                 checkpoint_path=os.path.join(
                     results_dir, f"{patch_id:04}_chains.ck.npz"
                 ),

@@ -89,12 +89,138 @@ def _stack_states(states: List[PointsState]) -> PointsState:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
 
+def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
+                    params: RJMCMCParams, seed: int = 0, capacity: int = 256,
+                    init: str = "naive", kernel_weights=None,
+                    checkpoint_path: Optional[str] = None,
+                    segment_size: int = 4096,
+                    max_segments: Optional[int] = None,
+                    mesh=None) -> Optional[SceneResult]:
+    """EXACT whole-scene MPP: one global cell-parallel chain over the full
+    maps — no tiling, no ``merge_patch_results`` distance-dedup; optionally
+    row-sharded over ``mesh`` with halo-exact cross-band pair energies
+    (``parallel/sharded_scene.py``). Replaces the reference's tile+dedup
+    approximation (``models/mpp/data_loaders.py:122-161``)."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.parallel_sampler import CELL
+    from mpp_cnn_rs_object_detection_tpu.parallel.sharded_scene import (
+        run_exact_scene_chain,
+    )
+
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    h0, w0 = data.shape
+    # rows must split evenly over the mesh with a CELL-row halo per band
+    mult = max(n_dev, 1)
+    target_h = -(-max(h0, 2 * CELL * n_dev) // mult) * mult
+    data = pad_image_w_maps(data, 1)  # normalise crop_data
+    if data.shape[0] < target_h or data.shape[1] < 2 * CELL:
+        ph = max(0, target_h - data.shape[0])
+        pw = max(0, 2 * CELL - data.shape[1])
+        data.image = np.pad(data.image, ((0, ph), (0, pw), (0, 0)))
+        data.detection_map = np.pad(data.detection_map, ((0, ph), (0, pw)))
+        data.param_dist_maps = [
+            np.pad(p, ((0, ph), (0, pw), (0, 0))) for p in data.param_dist_maps
+        ]
+        data.shape = data.image.shape[:2]
+    h, w = data.shape
+
+    if init == "naive":
+        c0, m0 = naive_detection(data, setup.detection_threshold)
+    elif init == "gt":
+        c0, m0 = data.gt_centers, data.gt_marks
+    else:
+        c0 = np.zeros((0, 2), np.float32)
+        m0 = np.zeros((0, 3), np.float32)
+    cap = max(capacity, int(-(-(len(c0) * 3 // 2 + 64) // 64) * 64))
+    c0, m0 = c0[:cap], m0[:cap]
+    intensity = max(1, len(c0))
+    maps = setup.make_maps(data)
+    kd = setup.make_kernel_data(data, intensity=intensity,
+                                kernel_weights=kernel_weights)
+    state = state_from_arrays(c0, m0, capacity=cap)
+
+    n_cells = max(h, w) // (2 * CELL) + 1
+    mps = max(1, n_cells * n_cells // 2)  # expected proposals per superstep
+    total_super = max(1, params.total_steps // mps)
+    alpha = params.resolved_alpha()
+    alpha_super = float(np.power(alpha, mps))
+    t_target = params.resolved_t_target()
+    seg_super = max(1, segment_size // mps)
+
+    done, t0 = 0, float(params.t0)
+    fingerprint = np.array(
+        [total_super, seg_super, alpha_super, t_target, cap, h, w], np.float64
+    )
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        ck = np.load(checkpoint_path)
+        if (
+            "fingerprint" in ck
+            and ck["fingerprint"].shape == fingerprint.shape
+            and bool(np.allclose(ck["fingerprint"], fingerprint))
+            and int(ck["seed"]) == seed
+        ):
+            state = PointsState(
+                xy=jnp.asarray(ck["xy"]), marks=jnp.asarray(ck["marks"]),
+                alive=jnp.asarray(ck["alive"]),
+            )
+            done, t0 = int(ck["done"]), float(ck["t0"])
+            logging.info(
+                f"scene {data.name}: resuming exact chain at superstep {done}"
+            )
+        else:
+            logging.warning(
+                f"scene {data.name}: exact checkpoint mismatch — restarting"
+            )
+    base_key = jax.random.PRNGKey(seed)
+    cache = None
+    segments_run = 0
+    while done < total_super:
+        n = min(seg_super, total_super - done)
+        state, cache, stats = run_exact_scene_chain(
+            jax.random.fold_in(base_key, done), state, maps, setup.spec,
+            comb, kd, n_supersteps=n, t0=t0, alpha_t=alpha_super,
+            t_target=t_target, mesh=mesh, cache=cache,
+        )
+        done += n
+        t0 = max(float(t0 * alpha_super**n), t_target)
+        segments_run += 1
+        if checkpoint_path and done < total_super:
+            np.savez(
+                checkpoint_path, xy=np.asarray(state.xy),
+                marks=np.asarray(state.marks), alive=np.asarray(state.alive),
+                done=done, t0=t0, seed=seed, fingerprint=fingerprint,
+            )
+        if (
+            max_segments is not None
+            and segments_run >= max_segments
+            and done < total_super
+        ):
+            return None  # simulated crash mid-anneal
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)
+
+    scores_k = np.asarray(papangelou(state, maps, setup.spec, comb))
+    xy, marks = state_to_arrays(state)
+    alive = np.asarray(state.alive)
+    logging.info(
+        f"scene {data.name}: exact chain {total_super} supersteps x ~{mps} "
+        f"cells ({n_dev} device(s)) -> {len(xy)} detections"
+    )
+    return SceneResult(
+        centers=np.asarray(xy).reshape(-1, 2),
+        marks=np.asarray(marks).reshape(-1, 3),
+        scores=scores_k[alive].reshape(-1),
+        n_tiles=n_dev,
+        total_moves=total_super * mps,
+    )
+
+
 def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                      params: RJMCMCParams, seed: int = 0, patch_size: int = 256,
                      min_overlap: int = 32, capacity: int = 256,
                      init: str = "naive", kernel_weights=None,
                      use_split_merge: bool = False,
                      sampler: str = "sequential",
+                     scene_mode: str = "tiled",
                      checkpoint_path: Optional[str] = None,
                      segment_size: int = 4096,
                      max_segments: Optional[int] = None,
@@ -118,7 +244,18 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     independent chains, so GSPMD partitions the vmapped sampler with zero
     collectives; the tile axis is padded to a multiple of the mesh size.
     Results are bit-identical to the unsharded run (same per-tile keys).
+
+    ``scene_mode='exact'``: skip tiling entirely — one global cell-parallel
+    chain over the whole scene (optionally row-sharded over ``mesh`` with
+    halo-exact borders); see ``run_exact_scene``.
     """
+    if scene_mode == "exact":
+        return run_exact_scene(
+            data, setup, comb, params, seed=seed, capacity=capacity,
+            init=init, kernel_weights=kernel_weights,
+            checkpoint_path=checkpoint_path, segment_size=segment_size,
+            max_segments=max_segments, mesh=mesh,
+        )
     data = pad_image_w_maps(data, patch_size)
     patches = split_image(data, patch_size, min_overlap)
 
