@@ -1,10 +1,14 @@
-"""Baseline detector models: HBB ('fasterrcnn') and OBB ('bbavec') parity.
+"""Baseline detectors: true two-stage Faster R-CNN (HBB) and CTRBOX
+BBAVectors (OBB).
 
-Capability rebuild of reference ``models/fasterRCNN/faster_rcnn_model.py:40-376``
-(torchvision Faster R-CNN on HBB boxes derived from the rotated rects) and
-``models/BBAVectors-Oriented-Object-Detection/bbavec_model.py:32-314``
-(CTRBOX oriented detector): same train / infer / eval / DOTA-export surface,
-implemented as TPU-native center-point detectors (see ``detector_common.py``).
+Architecture parity with the reference baselines — torchvision
+``fasterrcnn_resnet50_fpn`` + 2-class head
+(``models/fasterRCNN/faster_rcnn_model.py:40-376``) and the vendored CTRBOX
+(``models/BBAVectors-Oriented-Object-Detection/ctrbox_net.py:8-60``,
+``decoder.py``, ``loss.py``) — with the same train / infer / eval / DOTA
+export surface. Both train through the device-resident pipeline
+(``data/device_pipeline.py``): per-batch GT targets are built on-device from
+padded (centers, params) arrays.
 """
 
 from __future__ import annotations
@@ -13,6 +17,7 @@ import logging
 import os
 import pickle
 import re
+from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -24,24 +29,33 @@ from PIL import Image
 from mpp_cnn_rs_object_detection_tpu.metrics.dota_eval import dota_eval
 from mpp_cnn_rs_object_detection_tpu.metrics.dota_writer import DOTAResultsTranslator
 from mpp_cnn_rs_object_detection_tpu.models.base import BaseModel, PatchBasedTrainer
-from mpp_cnn_rs_object_detection_tpu.models.detector_common import (
-    CenterDetector,
-    CenterLabelProcessor,
-    decode_peaks,
-    detector_loss,
+from mpp_cnn_rs_object_detection_tpu.models.bbavec_arch import (
+    CTRBOX,
+    ctrbox_decode,
+    ctrbox_loss,
+    ctrbox_targets,
+)
+from mpp_cnn_rs_object_detection_tpu.models.fasterrcnn_arch import (
+    FasterRCNN,
+    box_iou,
+    decode_boxes,
+    make_anchors,
+    masked_nms,
+    roi_align,
+    roi_loss,
+    roi_targets,
+    rpn_loss,
+    select_proposals,
 )
 from mpp_cnn_rs_object_detection_tpu.models.train_utils import (
     TrainState,
     latest_checkpoint,
     load_checkpoint,
-    make_eval_epoch_fn,
-    make_train_epoch_fn,
-    mean_metrics,
+    make_device_epoch_fns,
     save_checkpoint,
-    stack_batches,
 )
 from mpp_cnn_rs_object_detection_tpu.ops.geometry import rect_to_poly_np
-from mpp_cnn_rs_object_detection_tpu.ops.nms import nms, nms_distance
+from mpp_cnn_rs_object_detection_tpu.ops.nms import nms
 from mpp_cnn_rs_object_detection_tpu.utils.config import (
     fetch_data_paths,
     get_inference_path,
@@ -51,9 +65,27 @@ from mpp_cnn_rs_object_detection_tpu.utils.files import make_if_not_exist
 
 _ID_RE = re.compile(r"[^0-9]*([0-9]+).*\.png")
 
+FPN_STRIDES = (4, 8, 16, 32, 64)
 
-class _CenterDetectorModel(BaseModel, PatchBasedTrainer):
-    ORIENTED = False
+
+def hbb_from_marks(centers, params):
+    """Axis-aligned (y1, x1, y2, x2) hulls of rotated rects (the reference's
+    HBB conversion for Faster R-CNN, ``patch_processor.py:9-50``)."""
+    a, b, w = params[..., 0], params[..., 1], params[..., 2]
+    ch = jnp.abs(b * jnp.cos(w)) + jnp.abs(a * jnp.sin(w))
+    cw = jnp.abs(b * jnp.sin(w)) + jnp.abs(a * jnp.cos(w))
+    return jnp.stack(
+        [
+            centers[..., 0] - ch / 2,
+            centers[..., 1] - cw / 2,
+            centers[..., 0] + ch / 2,
+            centers[..., 1] + cw / 2,
+        ],
+        axis=-1,
+    )
+
+
+class _DetectorBase(BaseModel, PatchBasedTrainer):
     MODEL_TYPE = "fasterrcnn"
 
     def __init__(self, config: Dict, overwrite: bool = False, load: bool = False,
@@ -66,23 +98,19 @@ class _CenterDetectorModel(BaseModel, PatchBasedTrainer):
         self.temp_dataset = f"temp_{self.config['model_name']}"
         self.n_epochs = self.config["trainer"]["n_epochs"]
         self.batch_size = self.config["trainer"]["batch_size"]
+        self.rng = np.random.default_rng(42)
+        self.patch_size = self.config["data_loader"]["patch_maker_params"][
+            "patch_size"
+        ]
+        self._build_net()
 
-        net_dtype = (
-            jnp.bfloat16
-            if self.config["model"].get("dtype", "bfloat16") == "bfloat16"
-            else jnp.float32
-        )
-        self.net = CenterDetector(
-            hidden_dims=tuple(self.config["model"]["hidden_dims"]),
-            n_box=4 if self.ORIENTED else 2,
-            dtype=net_dtype,
-        )
         key = jax.random.PRNGKey(0)
-        variables = self.net.init(key, jnp.zeros((1, 64, 64, 3)), train=False)
+        variables = self._init_variables(key)
         loss_cfg = self.config.get("loss", {})
         self.tx = optax.adam(loss_cfg.get("learning_rate", 1e-3))
         self.state = TrainState.create(
-            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
             self.tx,
         )
         self.last_epoch = 0
@@ -92,202 +120,28 @@ class _CenterDetectorModel(BaseModel, PatchBasedTrainer):
                 self.state, self.last_epoch = load_checkpoint(ckpt, self.state)
                 logging.info(f"restored {ckpt} (epoch {self.last_epoch})")
 
-        net = self.net
-        box_weight = loss_cfg.get("box_weight", 0.1)
-
-        def apply_loss(params, batch_stats, batch, train_flag):
-            x, y = batch
-            (hm, box), mutated = net.apply(
-                {"params": params, "batch_stats": batch_stats},
-                x,
-                train=train_flag,
-                mutable=["batch_stats"] if train_flag else [],
-            )
-            loss_dict = detector_loss(hm, box, y, box_weight=box_weight)
-            new_stats = mutated["batch_stats"] if train_flag else batch_stats
-            return loss_dict["loss"], (loss_dict, new_stats)
-
-        self.train_epoch_fn = make_train_epoch_fn(apply_loss, self.tx)
-        self.eval_epoch_fn = make_eval_epoch_fn(apply_loss)
-
-        self.rng = np.random.default_rng(42)
-        self.error_densities = None
-        lp = CenterLabelProcessor(oriented=self.ORIENTED)
-        self.label_processor_train = lp
-        self.label_processor_val = lp
+        self._build_steps()
         if train:
-            self.__init_data__(reuse_data=reuse_data)
+            self.__init_data_device__()
 
-    # ----------------------------------------------------------------- train
+    # hooks ----------------------------------------------------------------
+
+    def _build_net(self):
+        raise NotImplementedError
+
+    def _init_variables(self, key):
+        raise NotImplementedError
+
+    def _build_steps(self):
+        raise NotImplementedError
 
     def train(self):
-        from mpp_cnn_rs_object_detection_tpu.data.patch_making import (
-            make_patch_dataset,
-        )
+        self._train_device()
 
-        for epoch in range(self.last_epoch, self.n_epochs):
-            tb = stack_batches(self.train_loader)
-            self.state, tm = self.train_epoch_fn(self.state, tb)
-            vb = stack_batches(self.val_loader)
-            vm = self.eval_epoch_fn(self.state, vb)
-            t = {k: float(np.mean(np.asarray(v))) for k, v in tm.items()}
-            v = {k: float(np.mean(np.asarray(x))) for k, x in vm.items()}
-            print(
-                f"[{epoch:04}] "
-                + " ".join(f"{k}: {x:.4f}" for k, x in t.items())
-                + " | val "
-                + " ".join(f"{k}: {x:.4f}" for k, x in v.items())
-            )
-            self.logger.update_train_val(epoch, t, v)
-            # rolling checkpoint every epoch: wall-clock timeouts on slow
-            # hosts must not lose progress (reference: every 4 epochs)
-            save_checkpoint(self.save_path, self.state, epoch + 1)
-            if (
-                epoch % self.dataset_update_interval == 0
-                and epoch != 0
-            ):
-                make_patch_dataset(
-                    new_dataset=self.temp_dataset,
-                    source_dataset=self.dataset,
-                    config=self.config,
-                    make_val=False,
-                    rng=self.rng,
-                )
-                self.data_train.update_files()
+    def save(self):
         save_checkpoint(
             self.save_path, self.state, self.n_epochs, name="model.msgpack"
         )
-        self.clean()
-
-    # ----------------------------------------------------------------- infer
-
-    def infer_on_image(self, image: np.ndarray):
-        h, w = image.shape[:2]
-        ph = (64 - h % 64) % 64
-        pw = (64 - w % 64) % 64
-        padded = np.pad(image, ((0, ph), (0, pw), (0, 0)))
-
-        @jax.jit
-        def fwd(params, batch_stats, img):
-            hm, box = self.net.apply(
-                {"params": params, "batch_stats": batch_stats},
-                img[None],
-                train=False,
-            )
-            return jax.nn.sigmoid(hm[0]), box[0]
-
-        hm, box = fwd(self.state.params, self.state.batch_stats, jnp.asarray(padded))
-        return np.asarray(hm)[:h, :w], np.asarray(box)[:h, :w]
-
-    def infer(self, subset: str = "val", overwrite: bool = True,
-              min_confidence: float = 0.15, **kwargs):
-        results_dir = get_inference_path(
-            model_name=os.path.split(self.save_path)[1],
-            dataset=self.dataset, subset=subset,
-        )
-        make_if_not_exist(results_dir, recursive=True)
-        det_type = "obb" if self.ORIENTED else "hbb"
-        dota_trlt = DOTAResultsTranslator(
-            self.dataset, subset, results_dir, det_type, all_classes=["vehicle"]
-        )
-        paths = fetch_data_paths(self.dataset, subset=subset, metadata=False)
-        for pf, af in zip(paths["images"], paths["annotations"]):
-            patch_id = int(_ID_RE.match(os.path.split(pf)[1]).group(1))
-            out_pkl = os.path.join(results_dir, f"{patch_id:04}_results.pkl")
-            if os.path.exists(out_pkl) and not overwrite:
-                continue
-            img = np.asarray(Image.open(pf), np.float32)[..., :3] / 255.0
-            with open(af, "rb") as f:
-                labels = pickle.load(f)
-            hm, box = self.infer_on_image(img)
-            centers, scores, boxes = decode_peaks(
-                hm, box, k=400, min_score=min_confidence
-            )
-            centers, scores, keep = nms_distance(
-                centers, scores, threshold=3, return_index=True
-            )
-            centers = np.asarray(centers).reshape(-1, 2)
-            scores = np.asarray(scores)
-            boxes = boxes[keep] if len(keep) else boxes[:0]
-
-            self._export(
-                dota_trlt, patch_id, labels, centers, scores, boxes, results_dir
-            )
-        dota_trlt.save()
-        logging.info("saved DOTA translations")
-
-    def _export(self, trlt, patch_id, labels, centers, scores, boxes,
-                results_dir):
-        gt_centers = np.asarray(labels["centers"]).reshape(-1, 2)
-        gt_params = np.asarray(labels["parameters"]).reshape(-1, 3)
-        if self.ORIENTED:
-            a, b = boxes[:, 0], boxes[:, 1]
-            angle = 0.5 * np.arctan2(boxes[:, 2], boxes[:, 3]) % np.pi
-            det_poly = rect_to_poly_np(centers, a, b, angle).reshape(-1, 4, 2)
-            gt_poly = rect_to_poly_np(
-                gt_centers, gt_params[:, 0], gt_params[:, 1], gt_params[:, 2]
-            ).reshape(-1, 4, 2)
-            trlt.add_gt(
-                image_id=patch_id, polygons=gt_poly,
-                difficulty=labels["difficult"],
-                categories=["vehicle"] * len(gt_poly),
-            )
-            trlt.add_detections(
-                image_id=patch_id, scores=scores, polygons=det_poly,
-                flip_coor=True, class_names=["vehicle"] * len(scores),
-            )
-            res = {
-                "detection": det_poly,
-                "detection_type": "poly",
-                "detection_center": centers,
-                "detection_score": scores,
-                "detection_params": np.stack([a, b, angle], -1)
-                if len(centers)
-                else np.zeros((0, 3)),
-            }
-        else:
-            hh, ww = boxes[:, 0] / 2, boxes[:, 1] / 2
-            det_boxes = np.stack(
-                [
-                    centers[:, 1] - ww, centers[:, 0] - hh,
-                    centers[:, 1] + ww, centers[:, 0] + hh,
-                ],
-                -1,
-            ) if len(centers) else np.zeros((0, 4))
-            gt_boxes = []
-            for c, p in zip(gt_centers, gt_params):
-                a, b, wangle = p
-                cw = abs(b * np.cos(wangle)) + abs(a * np.sin(wangle))
-                ch = abs(b * np.sin(wangle)) + abs(a * np.cos(wangle))
-                gt_boxes.append(
-                    [c[1] - cw / 2, c[0] - ch / 2, c[1] + cw / 2, c[0] + ch / 2]
-                )
-            gt_boxes = np.asarray(gt_boxes).reshape(-1, 4)
-            gt_poly = np.array(
-                [
-                    [[b[0], b[1]], [b[2], b[1]], [b[2], b[3]], [b[0], b[3]]]
-                    for b in gt_boxes
-                ]
-            ).reshape(-1, 4, 2)
-            trlt.add_gt(
-                image_id=patch_id, polygons=gt_poly,
-                difficulty=labels["difficult"], flip_coor=False,
-                categories=["vehicle"] * len(gt_poly),
-            )
-            trlt.add_detections(
-                image_id=patch_id, scores=scores, bbox=det_boxes,
-                flip_coor=False, class_names=["vehicle"] * len(scores),
-            )
-            res = {
-                "detection": det_boxes,
-                "detection_type": "bbox",
-                "detection_center": centers,
-                "detection_score": scores,
-            }
-        with open(
-            os.path.join(results_dir, f"{patch_id:04}_results.pkl"), "wb"
-        ) as f:
-            pickle.dump(res, f)
 
     def eval(self):
         dota_eval(
@@ -298,18 +152,355 @@ class _CenterDetectorModel(BaseModel, PatchBasedTrainer):
     def data_preview(self):
         pass
 
+    # shared DOTA/pickle export -------------------------------------------
 
-class FasterRCNNModel(_CenterDetectorModel):
-    """HBB baseline (reference C29 capability parity)."""
+    def _export_gt(self, trlt, patch_id, labels):
+        gt_centers = np.asarray(labels["centers"]).reshape(-1, 2)
+        gt_params = np.asarray(labels["parameters"]).reshape(-1, 3)
+        if self.ORIENTED:
+            gt_poly = rect_to_poly_np(
+                gt_centers, gt_params[:, 0], gt_params[:, 1], gt_params[:, 2]
+            ).reshape(-1, 4, 2)
+            trlt.add_gt(
+                image_id=patch_id, polygons=gt_poly,
+                difficulty=labels["difficult"],
+                categories=["vehicle"] * len(gt_poly),
+            )
+        else:
+            boxes = np.asarray(
+                hbb_from_marks(jnp.asarray(gt_centers), jnp.asarray(gt_params))
+            ) if len(gt_centers) else np.zeros((0, 4))
+            gt_poly = np.stack(
+                [
+                    boxes[:, [1, 0]], boxes[:, [3, 0]],
+                    boxes[:, [3, 2]], boxes[:, [1, 2]],
+                ],
+                axis=1,
+            ) if len(boxes) else np.zeros((0, 4, 2))
+            trlt.add_gt(
+                image_id=patch_id, polygons=gt_poly,
+                difficulty=labels["difficult"], flip_coor=False,
+                categories=["vehicle"] * len(gt_poly),
+            )
+
+
+class FasterRCNNModel(_DetectorBase):
+    """Two-stage HBB detector: ResNet-FPN + RPN + ROIAlign + box head
+    (reference C29)."""
 
     ORIENTED = False
     MODEL_TYPE = "fasterrcnn"
 
+    def _build_net(self):
+        mc = self.config.get("model", {})
+        self.net = FasterRCNN(
+            depth=mc.get("depth", 50),
+            width=mc.get("width", 64),
+            fpn_channels=mc.get("fpn_channels", 256),
+            box_hidden=mc.get("box_hidden", 1024),
+            dtype=jnp.bfloat16
+            if mc.get("dtype", "bfloat16") == "bfloat16"
+            else jnp.float32,
+        )
+        self.anchor_sizes = tuple(
+            mc.get("anchor_sizes", (8, 16, 32, 64, 128))
+        )
+        self.anchor_ratios = tuple(mc.get("anchor_ratios", (0.5, 1.0, 2.0)))
+        self.post_nms_train = mc.get("post_nms_train", 64)
+        self.post_nms_infer = mc.get("post_nms_infer", 256)
+        self.pre_nms = mc.get("pre_nms", 512)
+        self._anchor_cache = {}
 
-class BBAVecModel(_CenterDetectorModel):
-    """OBB baseline (reference C30 capability parity); regresses
-    (a, b, sin 2w, cos 2w) at centers — the double-angle encoding avoids the
-    pi-periodicity discontinuity BBAVectors handles with cls_theta."""
+    def _anchors_for(self, hw):
+        if hw not in self._anchor_cache:
+            fm = [(-(-hw[0] // s), -(-hw[1] // s)) for s in FPN_STRIDES]
+            self._anchor_cache[hw] = make_anchors(
+                fm, FPN_STRIDES, self.anchor_sizes, self.anchor_ratios
+            )
+        return self._anchor_cache[hw]
+
+    def _init_variables(self, key):
+        return self.net.init(
+            key, jnp.zeros((1, 64, 64, 3), jnp.float32), train=False,
+            method=FasterRCNN.init_all,
+        )
+
+    def _two_stage_loss(self, params, batch_stats, x, gt, gt_valid, train):
+        hw = (x.shape[1], x.shape[2])
+        anchors = self._anchors_for(hw)
+        anchors_all = jnp.concatenate([jnp.asarray(a) for a in anchors])
+        out, mutated = self.net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, train=train,
+            mutable=["batch_stats"] if train else [],
+        )
+        feats, rpn_logits, rpn_deltas = out
+
+        rpn_c, rpn_r = jax.vmap(
+            lambda lg, dl, g, gv: rpn_loss(lg, dl, anchors_all, g, gv)
+        )(rpn_logits, rpn_deltas,
+          gt, gt_valid)
+
+        def roi_one(i):
+            props, _, valid = select_proposals(
+                rpn_logits[i], rpn_deltas[i], anchors, hw,
+                self.pre_nms, self.post_nms_train,
+            )
+            props = jax.lax.stop_gradient(props)
+            labels, matched, pos = roi_targets(props, valid, gt[i],
+                                               gt_valid[i])
+            feats_i = [f[i] for f in feats[:4]]
+            rois = roi_align(feats_i, props, FPN_STRIDES[:4])
+            cls, reg = self.net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                rois.astype(jnp.float32),
+                method=FasterRCNN.roi_predict,
+            )
+            return roi_loss(cls, reg, props, labels, matched, pos, valid)
+
+        roi_c, roi_r = jax.vmap(roi_one)(jnp.arange(x.shape[0]))
+        loss = (
+            jnp.mean(rpn_c) + jnp.mean(rpn_r)
+            + jnp.mean(roi_c) + jnp.mean(roi_r)
+        )
+        metrics = {
+            "loss": loss,
+            "rpn_cls": jnp.mean(rpn_c), "rpn_reg": jnp.mean(rpn_r),
+            "roi_cls": jnp.mean(roi_c), "roi_reg": jnp.mean(roi_r),
+        }
+        new_stats = mutated["batch_stats"] if train else batch_stats
+        return loss, (metrics, new_stats)
+
+    def _build_steps(self):
+        def target_fn(cen, par, val):
+            boxes = hbb_from_marks(cen, par)
+            return {"gt": jnp.where(val[:, None], boxes, 0.0),
+                    "gt_valid": val}
+
+        def apply_loss(params, batch_stats, batch, train):
+            x, y = batch
+            return self._two_stage_loss(
+                params, batch_stats, x, y["gt"], y["gt_valid"], train
+            )
+
+        self.device_train_epoch, self.device_eval_epoch = (
+            make_device_epoch_fns(apply_loss, self.tx, target_fn)
+        )
+
+    # ------------------------------------------------------------- inference
+
+    def _detect(self, image: np.ndarray, min_confidence: float):
+        h, w = image.shape[:2]
+        ph = (64 - h % 64) % 64
+        pw = (64 - w % 64) % 64
+        padded = jnp.asarray(np.pad(image, ((0, ph), (0, pw), (0, 0))))
+        hw = (h + ph, w + pw)
+        anchors = self._anchors_for(hw)
+
+        @partial(jax.jit, static_argnames=())
+        def fwd(params, batch_stats, img):
+            feats, rpn_logits, rpn_deltas = self.net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                img[None], train=False,
+            )
+            props, _, valid = select_proposals(
+                rpn_logits[0], rpn_deltas[0], anchors, hw,
+                self.pre_nms, self.post_nms_infer,
+            )
+            rois = roi_align([f[0] for f in feats[:4]], props,
+                             FPN_STRIDES[:4])
+            cls, reg = self.net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                rois.astype(jnp.float32),
+                method=FasterRCNN.roi_predict,
+            )
+            scores = jax.nn.softmax(cls, -1)[:, 1]
+            boxes = decode_boxes(props, reg)
+            return boxes, jnp.where(valid, scores, 0.0)
+
+        boxes, scores = fwd(
+            self.state.params, self.state.batch_stats, padded
+        )
+        boxes = np.asarray(boxes)
+        scores = np.asarray(scores)
+        keep = scores >= min_confidence
+        boxes, scores = boxes[keep], scores[keep]
+        if len(boxes):
+            iou_t = self.config.get("model", {}).get("iou_threshold", 0.5)
+            _, _, kidx = nms(
+                boxes[:, [1, 0, 3, 2]], scores, iou_t, return_index=True
+            )
+            boxes, scores = boxes[kidx], scores[kidx]
+        return boxes, scores
+
+    def infer(self, subset: str = "val", overwrite: bool = True,
+              min_confidence: float = 0.25, **kwargs):
+        results_dir = get_inference_path(
+            model_name=os.path.split(self.save_path)[1],
+            dataset=self.dataset, subset=subset,
+        )
+        make_if_not_exist(results_dir, recursive=True)
+        trlt = DOTAResultsTranslator(
+            self.dataset, subset, results_dir, "hbb", all_classes=["vehicle"]
+        )
+        paths = fetch_data_paths(self.dataset, subset=subset, metadata=False)
+        for pf, af in zip(paths["images"], paths["annotations"]):
+            patch_id = int(_ID_RE.match(os.path.split(pf)[1]).group(1))
+            out_pkl = os.path.join(results_dir, f"{patch_id:04}_results.pkl")
+            if os.path.exists(out_pkl) and not overwrite:
+                continue
+            img = np.asarray(Image.open(pf), np.float32)[..., :3] / 255.0
+            with open(af, "rb") as f:
+                labels = pickle.load(f)
+            boxes, scores = self._detect(img, min_confidence)
+            self._export_gt(trlt, patch_id, labels)
+            det_xyxy = boxes[:, [1, 0, 3, 2]] if len(boxes) else np.zeros(
+                (0, 4)
+            )
+            trlt.add_detections(
+                image_id=patch_id, scores=scores, bbox=det_xyxy,
+                flip_coor=False, class_names=["vehicle"] * len(scores),
+            )
+            with open(out_pkl, "wb") as f:
+                pickle.dump(
+                    {
+                        "detection": det_xyxy,
+                        "detection_type": "bbox",
+                        "detection_score": scores,
+                        "detection_center": (boxes[:, :2] + boxes[:, 2:]) / 2
+                        if len(boxes)
+                        else np.zeros((0, 2)),
+                    },
+                    f,
+                )
+        trlt.save()
+        logging.info("saved DOTA translations")
+
+
+class BBAVecModel(_DetectorBase):
+    """CTRBOX oriented detector (reference C30)."""
 
     ORIENTED = True
     MODEL_TYPE = "bbavec"
+
+    def _build_net(self):
+        mc = self.config.get("model", {})
+        self.down_ratio = mc.get("down_ratio", 4)
+        self.net = CTRBOX(
+            depth=mc.get("depth", 101),
+            width=mc.get("width", 64),
+            head_conv=mc.get("head_conv", 256),
+            down_ratio=self.down_ratio,
+            dtype=jnp.bfloat16
+            if mc.get("dtype", "bfloat16") == "bfloat16"
+            else jnp.float32,
+        )
+
+    def _init_variables(self, key):
+        return self.net.init(
+            key, jnp.zeros((1, 64, 64, 3), jnp.float32), train=False
+        )
+
+    def _build_steps(self):
+        p = self.patch_size
+        dr = self.down_ratio
+
+        def target_fn(cen, par, val):
+            return ctrbox_targets(cen, par, val, (p, p), down_ratio=dr)
+
+        def apply_loss(params, batch_stats, batch, train):
+            x, y = batch
+            outs, mutated = self.net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, train=train,
+                mutable=["batch_stats"] if train else [],
+            )
+            losses = jax.vmap(ctrbox_loss)(
+                outs, y
+            )
+            metrics = {k: jnp.mean(v) for k, v in losses.items()}
+            new_stats = mutated["batch_stats"] if train else batch_stats
+            return metrics["loss"], (metrics, new_stats)
+
+        self.device_train_epoch, self.device_eval_epoch = (
+            make_device_epoch_fns(apply_loss, self.tx, target_fn)
+        )
+
+    # ------------------------------------------------------------- inference
+
+    def _detect(self, image: np.ndarray, min_confidence: float, k: int = 500):
+        h, w = image.shape[:2]
+        mult = 32
+        ph = (mult - h % mult) % mult
+        pw = (mult - w % mult) % mult
+        padded = jnp.asarray(np.pad(image, ((0, ph), (0, pw), (0, 0))))
+
+        @partial(jax.jit, static_argnames=())
+        def fwd(params, batch_stats, img):
+            outs = self.net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                img[None], train=False,
+            )
+            outs1 = {kk: v[0] for kk, v in outs.items()}
+            return ctrbox_decode(outs1, k=k, down_ratio=self.down_ratio)
+
+        scores, quads, centers = fwd(
+            self.state.params, self.state.batch_stats, padded
+        )
+        scores = np.asarray(scores)
+        quads = np.asarray(quads)
+        centers = np.asarray(centers)
+        keep = scores >= min_confidence
+        scores, quads, centers = scores[keep], quads[keep], centers[keep]
+        if len(scores):
+            # rotated NMS via the native polygon IoU (reference nms.py uses
+            # the devkit's poly IoU)
+            from mpp_cnn_rs_object_detection_tpu.metrics.polyiou import (
+                poly_iou_matrix,
+            )
+
+            iou = poly_iou_matrix(quads, quads)
+            order = np.argsort(-scores, kind="stable")
+            kept = np.zeros(len(scores), bool)
+            for i in order:
+                kept[i] = not np.any(iou[i, kept] >= 0.1)
+            scores, quads, centers = scores[kept], quads[kept], centers[kept]
+        return scores, quads, centers
+
+    def infer(self, subset: str = "val", overwrite: bool = True,
+              min_confidence: float = 0.2, **kwargs):
+        results_dir = get_inference_path(
+            model_name=os.path.split(self.save_path)[1],
+            dataset=self.dataset, subset=subset,
+        )
+        make_if_not_exist(results_dir, recursive=True)
+        trlt = DOTAResultsTranslator(
+            self.dataset, subset, results_dir, "obb", all_classes=["vehicle"]
+        )
+        paths = fetch_data_paths(self.dataset, subset=subset, metadata=False)
+        for pf, af in zip(paths["images"], paths["annotations"]):
+            patch_id = int(_ID_RE.match(os.path.split(pf)[1]).group(1))
+            out_pkl = os.path.join(results_dir, f"{patch_id:04}_results.pkl")
+            if os.path.exists(out_pkl) and not overwrite:
+                continue
+            img = np.asarray(Image.open(pf), np.float32)[..., :3] / 255.0
+            with open(af, "rb") as f:
+                labels = pickle.load(f)
+            scores, quads, centers = self._detect(img, min_confidence)
+            self._export_gt(trlt, patch_id, labels)
+            trlt.add_detections(
+                image_id=patch_id, scores=scores, polygons=quads,
+                flip_coor=True, class_names=["vehicle"] * len(scores),
+            )
+            with open(out_pkl, "wb") as f:
+                pickle.dump(
+                    {
+                        "detection": quads,
+                        "detection_type": "poly",
+                        "detection_score": scores,
+                        "detection_center": centers,
+                    },
+                    f,
+                )
+        trlt.save()
+        logging.info("saved DOTA translations")

@@ -50,15 +50,16 @@ def naive_detection(data: ImageWMaps, detection_threshold: float
         return np.zeros((0, 2), np.float32), np.zeros((0, 3), np.float32)
     scores = det[centers[:, 0], centers[:, 1]]
     nms_centers, _ = nms_distance(centers, scores, threshold=6)
-    nms_centers = np.asarray(nms_centers).reshape(-1, 2)
-    marks = []
-    for c in nms_centers:
-        sra = [
-            m.class_to_value(int(np.argmax(d[c[0], c[1]])))
+    nms_centers = np.asarray(nms_centers).reshape(-1, 2).astype(int)
+    cy, cx = nms_centers[:, 0], nms_centers[:, 1]
+    marks = np.stack(
+        [
+            m.class_to_value(np.argmax(d[cy, cx], axis=-1))
             for m, d in zip(data.mappings, data.param_dist_maps)
-        ]
-        marks.append(sra)
-    return nms_centers.astype(np.float32), np.asarray(marks, np.float32)
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+    return nms_centers.astype(np.float32), marks.astype(np.float32)
 
 
 def pad_image_w_maps(data: ImageWMaps, target: int) -> ImageWMaps:

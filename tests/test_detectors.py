@@ -32,19 +32,27 @@ def workspace(tmp_path_factory):
 
 
 def _config(name, oriented):
+    model = (
+        {"depth": 18, "width": 8, "head_conv": 16, "down_ratio": 4,
+         "dtype": "float32"}
+        if oriented
+        else {"depth": 18, "width": 8, "fpn_channels": 16, "box_hidden": 64,
+              "anchor_sizes": (4, 8, 16, 32, 64), "pre_nms": 64,
+              "post_nms_train": 16, "post_nms_infer": 32, "dtype": "float32"}
+    )
     return {
         "model_name": name,
         "data_loader": {
             "dataset": "synth_d",
             "dataset_update_interval": 16,
             "patch_maker_params": {
-                "patch_size": 32, "n_patches": 16,
+                "patch_size": 32, "n_patches": 16, "max_objects": 16,
                 "unf_sampler_weight": 0.5, "obj_sampler_weight": 0.5,
                 "obj_sampler_sigma": 4,
             },
         },
         "trainer": {"n_epochs": 3, "batch_size": 4},
-        "model": {"hidden_dims": [8, 16], "dtype": "float32"},
+        "model": model,
         "loss": {"learning_rate": 2e-3},
     }
 
