@@ -138,6 +138,69 @@ class ImageDataset:
         )
 
 
+class PatchDataset:
+    """On-the-fly patch extraction from whole source images (reference
+    ``data/patch_dataset.py:14-92``): each ``__getitem__`` samples an
+    (image, patch-center) pair through a ``PatchSampler``, crops with border
+    padding, reassigns labels, optionally augments, and runs the label
+    processor — no materialised temp dataset. Decoded source images are
+    cached (the sources are few and reused across items)."""
+
+    def __init__(self, patch_size: int, dataset: str, subset: str,
+                 rng: Optional[np.random.Generator],
+                 label_processor: LabelProcessor, patch_sampler,
+                 augmenter=None, rgb: bool = True):
+        self.patch_size = patch_size
+        self.paths = fetch_data_paths(dataset, subset)
+        self.rng = np.random.default_rng() if rng is None else rng
+        self.label_processor = label_processor
+        self.augmenter = augmenter
+        self.rgb = rgb
+        self.patch_sampler = patch_sampler
+        self.patch_sampler.initialise(
+            self.paths["images"], self.paths["annotations"],
+            self.paths["metadata"],
+        )
+        self._cache: Dict[int, tuple] = {}
+
+    def __len__(self):
+        return len(self.patch_sampler)
+
+    def _source(self, image_id: int):
+        if image_id not in self._cache:
+            image = load_image(self.paths["images"][image_id])
+            if not self.rgb:
+                image = image[..., :1]
+            labels = load_annotation(self.paths["annotations"][image_id])
+            self._cache[image_id] = (image, labels)
+        return self._cache[image_id]
+
+    def __getitem__(self, item):
+        image_id = self.patch_sampler.sample_image()
+        image, labels_dict = self._source(image_id)
+        centers = np.asarray(labels_dict["centers"]).reshape(-1, 2)
+        params = np.asarray(labels_dict["parameters"]).reshape(-1, 3)
+        anchor = self.patch_sampler.sample_patch_center(
+            image_id=image_id, shape=np.array(image.shape[:2]),
+            centers=centers,
+        )
+        patch, tl, off = extract_patch(image, anchor, self.patch_size)
+        if len(centers):
+            rel = centers + off - tl
+            keep = np.all((rel >= 0) & (rel < self.patch_size), axis=1)
+            p_centers, p_params = rel[keep], params[keep]
+        else:
+            p_centers = np.zeros((0, 2))
+            p_params = np.zeros((0, 3))
+        if self.augmenter is not None:
+            patch, p_centers, p_params, _ = self.augmenter.transform(
+                patch, p_centers, p_params
+            )
+        return self.label_processor.process(
+            patch=patch, centers=p_centers, params=p_params, idx=item
+        )
+
+
 class BatchLoader:
     """Batches an ImageDataset into stacked numpy arrays.
 

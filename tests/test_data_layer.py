@@ -221,3 +221,33 @@ def test_make_synth_rectangles_disjoint():
     for i in range(len(polys)):
         for j in range(i + 1, len(polys)):
             assert float(convex_quad_intersection_area(polys[i], polys[j])) == 0.0
+
+
+def test_on_the_fly_patch_dataset(synth_env):
+    """PatchDataset crops + reassigns labels per item without a materialised
+    temp dataset (reference data/patch_dataset.py:14-92)."""
+    from mpp_cnn_rs_object_detection_tpu.data.dataset import (
+        BatchLoader,
+        PatchDataset,
+    )
+    from mpp_cnn_rs_object_detection_tpu.data.label_processing import (
+        PosLabelProcessor,
+    )
+    from mpp_cnn_rs_object_detection_tpu.data.patch_samplers import (
+        ObjectSampler,
+    )
+
+    rng = np.random.default_rng(0)
+    ds = PatchDataset(
+        patch_size=32, dataset="synthtest", subset="train", rng=rng,
+        label_processor=PosLabelProcessor(max_distance=6.0, mode="uvec"),
+        patch_sampler=ObjectSampler(n_patches=8, patch_size=32, rng=rng,
+                                    sigma=3.0),
+    )
+    assert len(ds) == 8
+    patch, label = ds[0]
+    assert patch.shape == (32, 32, 3)
+    assert label["pointing_map"].shape == (32, 32, 2)
+    x, y = next(iter(BatchLoader(ds, batch_size=4, rng=rng)))
+    assert x.shape == (4, 32, 32, 3)
+    assert y["mask"].shape == (4, 32, 32)
