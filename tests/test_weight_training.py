@@ -100,3 +100,44 @@ def test_integral_criterion_learns(setup):
             neg_s = jax.tree_util.tree_map(lambda x: x[s], negs)
             u_neg.append(float(total_energy(neg_s, maps_i, es.spec, comb)))
     assert np.mean(u_gt) < np.mean(u_neg), (np.mean(u_gt), np.mean(u_neg))
+
+
+def test_ordering_criterion_learns_separation(setup):
+    """The flagship mpp_log mode: after training, kernel perturbations of GT
+    must raise the combined energy on average (the criterion's objective,
+    reference train_ordering_criterion.py:43-219) — and GT energy must sit
+    below strong perturbations, as asserted for the integral criterion."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.energies import total_energy
+    from mpp_cnn_rs_object_detection_tpu.mpp.perturbations import (
+        PERTURBATION_STRONG,
+        sample_perturbed_batch,
+    )
+    from mpp_cnn_rs_object_detection_tpu.mpp.train_weights import (
+        prepare_batch,
+        train_ordering_criterion,
+    )
+
+    crops, es = setup
+    comb = train_ordering_criterion(
+        crops, es, logger=None, save_dir=None, rng=np.random.default_rng(2),
+        n_epochs=3, weight_model_type="logistic", batch_size=2, capacity=32,
+    )
+    report = comb_lib.combiner_as_report_dict(comb)
+    moved = [abs(v - 1.0) for k, v in report.items() if k.endswith("_weight")]
+    assert max(moved) > 1e-3, report
+
+    maps_b, kd_b, gt_b = prepare_batch(crops[:2], es, capacity=32)
+    u_gt, u_neg = [], []
+    for i in range(2):
+        maps_i = jax.tree_util.tree_map(lambda x: x[i], maps_b)
+        gt_i = jax.tree_util.tree_map(lambda x: x[i], gt_b)
+        kd_i = jax.tree_util.tree_map(lambda x: x[i], kd_b)
+        u_gt.append(float(total_energy(gt_i, maps_i, es.spec, comb)))
+        negs = sample_perturbed_batch(
+            jax.random.PRNGKey(10 + i), gt_i, kd_i, (H, W),
+            PERTURBATION_STRONG, 4,
+        )
+        for s in range(4):
+            neg_s = jax.tree_util.tree_map(lambda x: x[s], negs)
+            u_neg.append(float(total_energy(neg_s, maps_i, es.spec, comb)))
+    assert np.mean(u_gt) < np.mean(u_neg), (np.mean(u_gt), np.mean(u_neg))
