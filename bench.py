@@ -276,12 +276,11 @@ def bench_scene_e2e(h=768, w=768, n_obj=120):
         data, setup, comb,
         RJMCMCParams(n_steps=600, alpha_t=0.99, n_samples=0,
                      samples_interval=1),
-        seed=0, capacity=256, scene_mode="exact", segment_size=10**9,
+        seed=0, capacity=256, scene_mode="exact",
     )
     t0 = time.perf_counter()
     res = run_mpp_on_scene(
         data, setup, comb, params, seed=0, capacity=256, scene_mode="exact",
-        segment_size=10**9,
     )
     dt = time.perf_counter() - t0
     return dt, res.total_moves, len(res.centers)

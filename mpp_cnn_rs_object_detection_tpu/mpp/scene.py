@@ -141,11 +141,17 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
 
     n_cells = max(h, w) // (2 * CELL) + 1
     mps = max(1, n_cells * n_cells // 2)  # expected proposals per superstep
-    total_super = max(1, params.total_steps // mps)
+    # budget parity with the tiled samplers: ``total_steps`` is the
+    # reference's per-256px-tile move budget, so the superstep count is
+    # normalised by the proposals a 256px tile area receives per superstep
+    # (the tiled-parallel branch's moves_per_superstep), NOT by the whole
+    # scene's cell count — otherwise big scenes get starved per-area.
+    ms_tile = max(1, (256 // (2 * CELL) + 1) ** 2 // 2)
+    total_super = max(1, params.total_steps // ms_tile)
     alpha = params.resolved_alpha()
-    alpha_super = float(np.power(alpha, mps))
+    alpha_super = float(np.power(alpha, ms_tile))
     t_target = params.resolved_t_target()
-    seg_super = max(1, segment_size // mps)
+    seg_super = max(1, segment_size // ms_tile)
 
     done, t0 = 0, float(params.t0)
     fingerprint = np.array(
