@@ -131,7 +131,16 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     else:
         c0 = np.zeros((0, 2), np.float32)
         m0 = np.zeros((0, 3), np.float32)
-    cap = max(capacity, int(-(-(len(c0) * 3 // 2 + 64) // 64) * 64))
+    # ``capacity`` is the tiled path's per-256px-tile budget; a global chain
+    # must scale slots with scene area or big scenes saturate (births auto-
+    # reject once full, and the final population clips at ``capacity``
+    # regardless of how many objects the scene holds). 64 slots per tile
+    # area keeps the (K, K) pair matrices small while leaving ~2x headroom
+    # over observed per-tile populations; the init-growth term still wins
+    # for dense small scenes.
+    n_areas = -(-h0 // 256) * -(-w0 // 256)
+    cap = max(capacity, 64 * n_areas, len(c0) * 3 // 2 + 64)
+    cap = int(-(-cap // 64) * 64)
     c0, m0 = c0[:cap], m0[:cap]
     intensity = max(1, len(c0))
     maps = setup.make_maps(data)
@@ -210,7 +219,7 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     alive = np.asarray(state.alive)
     logging.info(
         f"scene {data.name}: exact chain {total_super} supersteps x ~{mps} "
-        f"cells ({n_dev} device(s)) -> {len(xy)} detections"
+        f"cells (K={cap}, {n_dev} device(s)) -> {len(xy)} detections"
     )
     return SceneResult(
         centers=np.asarray(xy).reshape(-1, 2),
