@@ -138,13 +138,59 @@ def make_energy_maps(detection_map: np.ndarray, mark_energy_maps: List[np.ndarra
     )
 
 
+def bilinear_weights(x: Array, y: Array, h: int, w: int, row0=0,
+                     n_rows: Optional[int] = None):
+    """Shared sub-pixel gather setup: continuous (x, y) -> 4 corner index
+    pairs + weights. ``row0``/``n_rows`` support row-sharded local map blocks
+    (the halo strips cover the +1 row). Integer coordinates reproduce the
+    exact pixel value, so this strictly generalises the reference's
+    integer lookup (``data_energies.py:18-22``) while giving the sampler a
+    sub-pixel energy gradient toward map peaks (the reference's integer
+    gather leaves a flat plateau the chain random-walks on, costing ~0.7 px
+    of position noise per detection)."""
+    n_rows = h if n_rows is None else n_rows
+    x = jnp.clip(x, 0.0, h - 1.0) - row0
+    y = jnp.clip(y, 0.0, w - 1.0)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, n_rows - 1)
+    x1 = jnp.clip(x0 + 1, 0, n_rows - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, w - 1)
+    wts = ((1 - fx) * (1 - fy), (1 - fx) * fy, fx * (1 - fy), fx * fy)
+    return ((x0, y0), (x0, y1), (x1, y0), (x1, y1)), wts
+
+
+def position_lookup(position: Array, xy: Array, h: int, w: int, row0=0) -> Array:
+    """Bilinear detection-energy lookup at continuous centers.
+
+    ``xy`` is (..., 2); ``position`` may be a row-sharded local block whose
+    global first row is ``row0``."""
+    idx, wts = bilinear_weights(xy[..., 0], xy[..., 1], h, w, row0,
+                                position.shape[0])
+    return sum(wt * position[i, j] for (i, j), wt in zip(idx, wts))
+
+
+def mark_lookup(mark_maps: Array, xy: Array, cls: Array, h: int, w: int,
+                row0=0) -> Array:
+    """Bilinear per-mark energy lookup: (..., 3) values at (xy, class)."""
+    idx, wts = bilinear_weights(xy[..., 0], xy[..., 1], h, w, row0,
+                                mark_maps.shape[1])
+    out = []
+    for m in range(3):
+        c = cls[..., m]
+        out.append(sum(wt * mark_maps[m, i, j, c]
+                       for (i, j), wt in zip(idx, wts)))
+    return jnp.stack(out, axis=-1)
+
+
 def data_columns(state: PointsState, maps: EnergyMaps, spec: EnergySpec):
     """The data-term columns of the per-point energy vector."""
     if spec.data_term == "cnn":
         h, w = maps.position.shape
-        xi = jnp.clip(state.xy[:, 0].astype(jnp.int32), 0, h - 1)
-        yi = jnp.clip(state.xy[:, 1].astype(jnp.int32), 0, w - 1)
-        pos = maps.position[xi, yi]
+        pos = position_lookup(maps.position, state.xy, h, w)
         mark_e = _gather_mark_energies(state, maps)
         if spec.shape_mode == "mean":
             return [pos, jnp.mean(mark_e, axis=-1)]
@@ -172,13 +218,10 @@ def marks_to_class(marks: Array, maps: EnergyMaps) -> Array:
 
 
 def _gather_mark_energies(state: PointsState, maps: EnergyMaps) -> Array:
-    """(K, 3): each point's per-mark energy map value at its pixel+class."""
+    """(K, 3): each point's per-mark energy map value at its center+class."""
     h, w = maps.position.shape
-    xi = jnp.clip(state.xy[:, 0].astype(jnp.int32), 0, h - 1)
-    yi = jnp.clip(state.xy[:, 1].astype(jnp.int32), 0, w - 1)
     cls = marks_to_class(state.marks, maps)  # (K, 3)
-    per_mark = [maps.mark_maps[m, xi, yi, cls[:, m]] for m in range(3)]
-    return jnp.stack(per_mark, axis=-1)
+    return mark_lookup(maps.mark_maps, state.xy, cls, h, w)
 
 
 def pair_terms(state: PointsState, spec: EnergySpec) -> Tuple[Array, Array]:

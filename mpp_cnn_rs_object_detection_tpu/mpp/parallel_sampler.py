@@ -272,12 +272,14 @@ def _unary_at(maps: EnergyMaps, spec: EnergySpec, xy: Array, marks: Array,
         position, mark_maps = view.position, view.mark_maps
         row0 = view.row0_md
         h, w = hw
-    xi = jnp.clip(xy[0].astype(jnp.int32), 0, h - 1)
-    yi = jnp.clip(xy[1].astype(jnp.int32), 0, w - 1)
-    xi_l = jnp.clip(xi - row0, 0, position.shape[0] - 1)
-    pos = position[xi_l, yi]
+    from mpp_cnn_rs_object_detection_tpu.mpp.energies import (
+        mark_lookup,
+        position_lookup,
+    )
+
+    pos = position_lookup(position, xy, h, w, row0=row0)
     cls = marks_to_class(marks, maps)
-    mark = jnp.stack([mark_maps[m, xi_l, yi, cls[m]] for m in range(3)])
+    mark = mark_lookup(mark_maps, xy, cls, h, w, row0=row0)
     return pos, mark
 
 

@@ -153,12 +153,15 @@ def _unary_row(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
             )
         return val, jnp.zeros((3,), jnp.float32)
 
+    from mpp_cnn_rs_object_detection_tpu.mpp.energies import (
+        mark_lookup,
+        position_lookup,
+    )
+
     h, w = maps.position.shape
-    xi = jnp.clip(state.xy[slot, 0].astype(jnp.int32), 0, h - 1)
-    yi = jnp.clip(state.xy[slot, 1].astype(jnp.int32), 0, w - 1)
-    pos = maps.position[xi, yi]
+    pos = position_lookup(maps.position, state.xy[slot], h, w)
     cls = marks_to_class(state.marks[slot], maps)  # (3,)
-    mark = jnp.stack([maps.mark_maps[m, xi, yi, cls[m]] for m in range(3)])
+    mark = mark_lookup(maps.mark_maps, state.xy[slot], cls, h, w)
     return pos, mark
 
 
@@ -185,14 +188,15 @@ def build_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec
     align = 1.0 - jnp.abs(jnp.cos(dangle)) - float(spec.rewarding_align)
 
     if spec.data_term == "cnn":
-        h, w = maps.position.shape
-        xi = jnp.clip(state.xy[:, 0].astype(jnp.int32), 0, h - 1)
-        yi = jnp.clip(state.xy[:, 1].astype(jnp.int32), 0, w - 1)
-        pos_e = maps.position[xi, yi]
-        cls = marks_to_class(state.marks, maps)
-        mark_e = jnp.stack(
-            [maps.mark_maps[m, xi, yi, cls[:, m]] for m in range(3)], axis=-1
+        from mpp_cnn_rs_object_detection_tpu.mpp.energies import (
+            mark_lookup,
+            position_lookup,
         )
+
+        h, w = maps.position.shape
+        pos_e = position_lookup(maps.position, state.xy, h, w)
+        cls = marks_to_class(state.marks, maps)
+        mark_e = mark_lookup(maps.mark_maps, state.xy, cls, h, w)
     else:
         from mpp_cnn_rs_object_detection_tpu.mpp.energies import data_columns
 
