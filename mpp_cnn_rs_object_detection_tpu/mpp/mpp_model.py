@@ -59,7 +59,13 @@ def ensure_cnn_inference(dataset: str, subset: str, position_model: str,
     ids = [
         int(_ID_RE.match(os.path.split(p)[1]).group(1)) for p in paths["images"]
     ]
-    for model_name, kind in [(position_model, "posnet"), (shape_model, "shapenet")]:
+    pos_models = (
+        list(position_model) if isinstance(position_model, (list, tuple))
+        else [position_model]
+    )
+    for model_name, kind in [(pm, "posnet") for pm in pos_models] + [
+        (shape_model, "shapenet")
+    ]:
         res_dir = get_inference_path(model_name, dataset, subset)
         missing = [
             i
@@ -341,13 +347,22 @@ class MPPModel(BaseModel):
                 mesh=mesh,
             )
 
+            det_centers = np.asarray(result.centers).reshape(-1, 2)
+            if self.config["inference"].get("refine_centers", True):
+                from mpp_cnn_rs_object_detection_tpu.mpp.refine import (
+                    snap_centers_to_map,
+                )
+
+                det_centers = snap_centers_to_map(
+                    det_centers, data.detection_map
+                )
             marks = np.asarray(result.marks).reshape(-1, 3)
             b_long = 2.0 * marks[:, 0] / (1.0 + marks[:, 1])
             pred_params = np.stack(
                 [b_long * marks[:, 1], b_long, marks[:, 2]], axis=-1
             )
             detection_as_poly = rect_to_poly_np(
-                result.centers, pred_params[:, 0], pred_params[:, 1],
+                det_centers, pred_params[:, 0], pred_params[:, 1],
                 pred_params[:, 2],
             )
             centers = np.asarray(data.labels["centers"]).reshape(-1, 2)
@@ -389,7 +404,7 @@ class MPPModel(BaseModel):
                     {
                         "detection": detection_as_poly,
                         "detection_type": "poly",
-                        "detection_center": result.centers,
+                        "detection_center": det_centers,
                         "detection_score": result.scores,
                         "detection_params": pred_params,
                         "detection_marks": result.marks,
@@ -406,7 +421,7 @@ class MPPModel(BaseModel):
             save_image(
                 os.path.join(results_dir, f"{patch_id:04}_detection.png"),
                 rectangles_over_image(
-                    data.image, result.centers, pred_params,
+                    data.image, det_centers, pred_params,
                     scores=result.scores, color="plasma",
                     max_score=max(1e-6, float(np.max(result.scores)))
                     if len(result.scores)
