@@ -71,10 +71,20 @@ def load_image_w_maps(patch_id, dataset: str, subset: str, position_model: str,
     with open(os.path.join(base, "annotations", f"{patch_id:04}.pkl"), "rb") as f:
         labels = pickle.load(f)
 
-    pos_dir = get_inference_path(position_model, dataset, subset)
+    # position_model may be a list: the detection maps are max-combined
+    # pixelwise (checkpoint/model ensembling — decorrelated misses on a small
+    # train set make the union map measurably higher-recall than any member)
+    pos_models = (
+        position_model if isinstance(position_model, (list, tuple))
+        else [position_model]
+    )
     shape_dir = get_inference_path(shape_model, dataset, subset)
-    with open(os.path.join(pos_dir, f"{patch_id:04}_results.pkl"), "rb") as f:
-        detection_map = pickle.load(f)["detection_map"]
+    detection_map = None
+    for pm in pos_models:
+        pos_dir = get_inference_path(pm, dataset, subset)
+        with open(os.path.join(pos_dir, f"{patch_id:04}_results.pkl"), "rb") as f:
+            m = pickle.load(f)["detection_map"]
+        detection_map = m if detection_map is None else np.maximum(detection_map, m)
     with open(os.path.join(shape_dir, f"{patch_id:04}_results.pkl"), "rb") as f:
         shp = pickle.load(f)
     param_dist_maps = [np.moveaxis(p[0], 0, -1) for p in shp["output"]]
