@@ -249,7 +249,14 @@ def _select_prop(cond, a: Proposal, b: Proposal) -> Proposal:
 def _birth_common(key, state: PointsState, kd: KernelData, p_half: Array,
                   data_driven: bool) -> Proposal:
     h, w = kd.log_birth_density.shape
-    k_pos, k_marks = jax.random.split(key)
+    k_pos, k_marks, k_sub = jax.random.split(key, 3)
+    # positions are CONTINUOUS (the point process lives on R^2, and the
+    # bilinear energy lookups make sub-pixel positions meaningful); pixel
+    # draws get a U[0,1)^2 in-pixel jitter. The per-unit-area proposal
+    # density is unchanged (the pixel's mass spread over its unit square),
+    # so every Green ratio below is untouched. The reference truncates to
+    # the pixel grid (its integer map gather can't resolve finer).
+    jitter = jax.random.uniform(k_sub, (2,))
     if data_driven:
         u = jax.random.uniform(k_pos)
         idx = jnp.searchsorted(kd.birth_cdf, u, side="left")
@@ -286,7 +293,7 @@ def _birth_common(key, state: PointsState, kd: KernelData, p_half: Array,
     slot = jnp.argmin(state.alive)
     full = jnp.all(state.alive)
     prop = _mk_prop(
-        BIRTH, slot, jnp.array([xi, yi], jnp.float32), marks,
+        BIRTH, slot, jnp.array([xi, yi], jnp.float32) + jitter, marks,
         _log(p_half) + log_q - _log(kd.intensity),
         _log(p_half) - _log((n + 1).astype(jnp.float32)),
     )
@@ -328,8 +335,10 @@ def _gaussian_translation(key, state: PointsState, kd: KernelData,
     slot = _random_alive_slot(k_slot, state.alive)
     safe_slot = jnp.maximum(slot, 0)
     delta = kd.sigma_trl * jax.random.normal(k_delta, (2,))
+    # continuous translation (no pixel truncation): the symmetric gaussian
+    # density is then exact for both directions
     new_xy = jnp.clip(
-        jnp.trunc(state.xy[safe_slot] + delta),
+        state.xy[safe_slot] + delta,
         jnp.zeros((2,)),
         jnp.array([h - 1, w - 1], jnp.float32),
     )
@@ -355,7 +364,7 @@ def _window_logprobs(kd: KernelData, xi, yi) -> Array:
 def _data_translation(key, state: PointsState, kd: KernelData,
                       p_kernel: Array) -> Proposal:
     n = state.n_points
-    k_slot, k_cell = jax.random.split(key)
+    k_slot, k_cell, k_sub = jax.random.split(key, 3)
     slot = _random_alive_slot(k_slot, state.alive)
     safe_slot = jnp.maximum(slot, 0)
     xi, yi = _pixel_of(state, kd, safe_slot)
@@ -365,13 +374,17 @@ def _data_translation(key, state: PointsState, kd: KernelData,
     new_x = xi + di - MAX_DELTA
     new_y = yi + dj - MAX_DELTA
     log_fwd = _log(p_kernel) + logw[di, dj] - _log(n.astype(jnp.float32))
-    # backward: window centred at the new position, density of the old one
+    # backward: window centred at the new pixel, density of the old pixel.
+    # The in-pixel jitter has unit density, so pixel masses are the exact
+    # per-unit-area densities in both directions.
     logw_b = _window_logprobs(kd, new_x, new_y)
     bi = xi - new_x + MAX_DELTA
     bj = yi - new_y + MAX_DELTA
     log_back = _log(p_kernel) + logw_b[bi, bj] - _log(n.astype(jnp.float32))
     prop = _mk_prop(
-        MOVE, safe_slot, jnp.array([new_x, new_y], jnp.float32),
+        MOVE, safe_slot,
+        jnp.array([new_x, new_y], jnp.float32)
+        + jax.random.uniform(k_sub, (2,)),
         state.marks[safe_slot], log_fwd, log_back,
     )
     return _select_prop(slot < 0, _noop(_log(p_kernel)), prop)
@@ -476,8 +489,8 @@ def _split_kernel(key, state: PointsState, kd: KernelData, p_split: Array,
     m0 = state.marks[safe_slot]
     lo = jnp.zeros((2,))
     hi = jnp.array([h - 1, w - 1], jnp.float32)
-    xy_a = jnp.clip(jnp.trunc(p0 - pos_delta), lo, hi)
-    xy_b = jnp.clip(jnp.trunc(p0 + pos_delta), lo, hi)
+    xy_a = jnp.clip(p0 - pos_delta, lo, hi)
+    xy_b = jnp.clip(p0 + pos_delta, lo, hi)
     marks_a = _clip_marks(kd, m0 - shape_delta)
     marks_b = _clip_marks(kd, m0 + shape_delta)
 
@@ -520,7 +533,7 @@ def _merge_kernel(key, state: PointsState, kd: KernelData, p_split: Array,
     m0, m1 = state.marks[safe_slot], state.marks[nb_slot]
     lo = jnp.zeros((2,))
     hi = jnp.array([h - 1, w - 1], jnp.float32)
-    xy_new = jnp.clip(jnp.trunc((p0 + p1) / 2.0), lo, hi)
+    xy_new = jnp.clip((p0 + p1) / 2.0, lo, hi)
     marks_new = _clip_marks(kd, (m0 + m1) / 2.0)
 
     nf = n.astype(jnp.float32)

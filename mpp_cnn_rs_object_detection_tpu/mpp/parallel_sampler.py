@@ -51,7 +51,15 @@ from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import (
 from mpp_cnn_rs_object_detection_tpu.mpp.state import PointsState
 
 Array = jnp.ndarray
-CELL = 64  # >= 2 * max interaction radius (32 px)
+# Active cells are CELL x CELL squares spaced 2*CELL apart (random phase), so
+# two simultaneous proposals sit in distinct active cells and are separated by
+# a >= CELL-wide inactive strip: any interaction distance <= CELL is provably
+# untouched by another concurrent move (pair terms use `dist <= radius`, and
+# inter-cell distances are strictly > CELL). CELL therefore only needs to
+# cover the max interaction radius (32 px, `EnergySpec.overlap_max_dist`) —
+# verified at chain build time. Halving CELL from 64 quadruples the active
+# cells per superstep (~3x fewer supersteps for the same move budget).
+CELL = 32  # >= max interaction radius (32 px)
 
 # per-cell move mixture
 P_BIRTH, P_DEATH, P_TRL, P_TRF = 0.25, 0.25, 0.25, 0.25
@@ -100,7 +108,8 @@ def _cell_proposal(key, state: PointsState, kd: KernelData, view: MapView,
     density (the cell-local analog of the reference's data-driven birth);
     all map reads go through ``view`` so the same code runs on whole-image
     and row-sharded blocks."""
-    k_type, k_slot, k_pos, k_marks, k_delta, k_param = jax.random.split(key, 6)
+    (k_type, k_slot, k_pos, k_marks, k_delta, k_param,
+     k_sub) = jax.random.split(key, 7)
 
     # valid in-image extent of this cell
     ylo = jnp.clip(y0, 0, h)
@@ -138,8 +147,12 @@ def _cell_proposal(key, state: PointsState, kd: KernelData, view: MapView,
     win_sum = jnp.sum(win)
     win_prob = win / (win_sum + EPS)
     cell_idx = jax.random.categorical(k_pos, _log(win_prob).ravel())
-    py = (y0 + cell_idx // CELL).astype(jnp.float32)
-    px = (x0 + cell_idx % CELL).astype(jnp.float32)
+    # continuous birth position: pixel draw + U[0,1)^2 in-pixel jitter (the
+    # per-unit-area density is still the pixel's mass, so the Green ratio is
+    # unchanged); byi/bxi truncate back to the sampled pixel
+    jitter = jax.random.uniform(k_sub, (2,))
+    py = (y0 + cell_idx // CELL).astype(jnp.float32) + jitter[0]
+    px = (x0 + cell_idx % CELL).astype(jnp.float32) + jitter[1]
     byi = jnp.clip(py.astype(jnp.int32), 0, h - 1)
     bxi = jnp.clip(px.astype(jnp.int32), 0, w - 1)
     byi_l = jnp.clip(byi - view.row0_md, 0, view.mark_dists.shape[1] - 1)
@@ -179,10 +192,11 @@ def _cell_proposal(key, state: PointsState, kd: KernelData, view: MapView,
     )
     death_back = _log(jnp.asarray(P_BIRTH)) + log_q_death - _log(lam_cell)
 
-    # ---- translate: gaussian, clipped to the cell (stays non-interacting)
+    # ---- translate: gaussian, clipped to the cell (stays non-interacting);
+    # continuous — no pixel truncation
     delta = kd.sigma_trl * jax.random.normal(k_delta, (2,))
     trl_xy = jnp.clip(
-        jnp.trunc(state.xy[safe_slot] + delta),
+        state.xy[safe_slot] + delta,
         jnp.stack([ylo, xlo]).astype(jnp.float32),
         jnp.stack([yhi - 1, xhi - 1]).astype(jnp.float32),
     )
@@ -491,6 +505,12 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
     psum-combined over the mesh and every device applies the identical
     accepted set to its replicated state/cache — cross-band pair energies are
     EXACT because the state is global, while the O(H*W) maps stay sharded."""
+    # correctness precondition for simultaneous cell moves (see CELL above)
+    assert CELL >= max(spec.overlap_max_dist, spec.align_max_dist), (
+        f"CELL={CELL} < interaction radius "
+        f"{max(spec.overlap_max_dist, spec.align_max_dist)}: concurrent cell "
+        "proposals would interact"
+    )
     h, w = hw if hw is not None else kd.log_birth_density.shape
     if view is None:
         view = make_local_view(kd, maps)

@@ -95,8 +95,13 @@ def test_parallel_matches_sequential_equilibrium():
     e_seq = float(seq_stats.final_energy)
     e_par = float(par_stats.final_energy)
     assert e_par < 0 and e_seq < 0
-    # same order of magnitude of fit quality (both find the 5 objects)
-    assert abs(int(seq_final.n_points) - int(par_final.n_points)) <= 2
+    # same order of magnitude of fit quality (both find the 5 objects; with
+    # continuous sub-pixel positions the annealed point count on this
+    # deliberately permissive manual energy is noisier than the old
+    # pixel-grid chains, so parity is asserted on energy + a loose count band)
+    assert e_par <= 0.5 * e_seq, (e_par, e_seq)
+    assert abs(int(seq_final.n_points) - int(par_final.n_points)) <= 5
+    assert int(par_final.n_points) >= 5
 
 
 def test_superstep_deltas_exact_vs_bruteforce():
