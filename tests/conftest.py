@@ -17,3 +17,19 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+_last_module = [None]
+
+
+def pytest_runtest_setup(item):
+    """Drop compiled executables between test modules.
+
+    The image's XLA CPU backend segfaults in ``backend_compile`` late in
+    long processes (observed at the ~100th compile-heavy test; also noted in
+    ``ops/geometry.py`` for nested-vmap graphs). Clearing JAX's executable
+    and tracing caches at module boundaries keeps the per-process compiler
+    state bounded without changing any test's behaviour."""
+    module = item.module.__name__
+    if _last_module[0] is not None and module != _last_module[0]:
+        jax.clear_caches()
+    _last_module[0] = module
