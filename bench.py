@@ -287,6 +287,11 @@ def bench_scene_e2e(h=768, w=768, n_obj=120):
 
 
 def main():
+    from mpp_cnn_rs_object_detection_tpu.utils.config import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     wait_for_device()
     det, dists = build_tile()
     try:

@@ -58,6 +58,12 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", os.environ["MPP_PLATFORM"])
 
+    from mpp_cnn_rs_object_detection_tpu.utils.config import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
     if args.procedure == "translate_dota":
         from mpp_cnn_rs_object_detection_tpu.data.translate_dota import translate_dota
 

@@ -204,3 +204,26 @@ def check_data_match(paths: List[str]) -> int:
         ids.append(re.match(r"([0-9]+)\.[a-zA-Z]+", os.path.split(p)[1]).group(1))
     assert all(i == ids[0] for i in ids), f"id mismatch in {paths}"
     return int(ids[0])
+
+
+def enable_persistent_compilation_cache(cache_dir: Optional[str] = None
+                                        ) -> None:
+    """Turn on JAX/XLA's on-disk executable cache.
+
+    The exact-scene superstep program takes ~350 s to compile on this
+    1-core host per (scene-shape, capacity) signature; persisting compiled
+    executables makes every later process start warm. Call before the first
+    jitted computation. Safe to call on any backend; entries are keyed by
+    topology + program so CPU/TPU runs don't collide.
+    """
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "MPP_XLA_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "mpp_tpu_xla"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache everything that takes noticeable compile time
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

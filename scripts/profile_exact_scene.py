@@ -22,6 +22,12 @@ def main():
     t_imports = time.perf_counter()
     import jax
 
+    from mpp_cnn_rs_object_detection_tpu.utils.config import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
     from mpp_cnn_rs_object_detection_tpu.mpp.image_data import (
         load_image_w_maps,
     )
