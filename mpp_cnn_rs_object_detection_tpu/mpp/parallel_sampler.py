@@ -459,37 +459,72 @@ def _apply_one(state: PointsState, kind, slot, xy, marks) -> PointsState:
     return state.replace(xy=new_xy, marks=new_marks, alive=new_alive)
 
 
-def _row_update_provided(state: PointsState, spec: EnergySpec,
-                         cache: EnergyCache, slot, pos_s, mark_s
-                         ) -> EnergyCache:
-    """``rjmcmc.update_cache`` with the unary values supplied by the caller
-    instead of gathered from the maps — in the sharded superstep only the
-    owning device holds the candidate's map rows, so it computes the unary
-    once and every device applies it to its replicated cache; the geometry
-    rows need only the (replicated) state."""
-    from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import _pair_row
+def _apply_batch(state: PointsState, cache: EnergyCache, spec: EnergySpec,
+                 kinds, slots, xys, markss, pos_us, mark_us, accept
+                 ) -> Tuple[PointsState, EnergyCache]:
+    """Apply ALL accepted proposals of a superstep in one batched scatter.
+
+    Accepted proposals touch pairwise-distinct slots (cells are disjoint;
+    births draw distinct free slots by rank) and are non-interacting, so the
+    batched write is exactly the sequential application: every cache row is
+    computed against the post-update state, and row/column scatters of two
+    updated slots agree on their shared entry. Replaces a fori_loop whose
+    per-iteration masked select copied the whole O(K^2) cache m times per
+    superstep — the dominant cost of the exact-scene chain at scene-level K.
+    """
     from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
         marks_to_poly,
+        quad_intersection_area_matrix,
         rect_area,
     )
 
-    poly_s = marks_to_poly(
-        state.xy[slot][None], state.marks[slot, 0][None],
-        state.marks[slot, 1][None], state.marks[slot, 2][None],
-    )[0]
-    area_s = rect_area(state.marks[slot, 0], state.marks[slot, 1])
-    polys = cache.polys.at[slot].set(poly_s)
-    areas = cache.areas.at[slot].set(area_s)
-    dist_row, ov_row, al_row = _pair_row(state, spec, slot, polys, areas)
-    return EnergyCache(
-        dist=cache.dist.at[slot, :].set(dist_row).at[:, slot].set(dist_row),
-        overlap=cache.overlap.at[slot, :].set(ov_row).at[:, slot].set(ov_row),
-        align=cache.align.at[slot, :].set(al_row).at[:, slot].set(al_row),
-        pos_e=cache.pos_e.at[slot].set(pos_s),
-        mark_e=cache.mark_e.at[slot].set(mark_s),
+    k = state.capacity
+    safe = jnp.clip(slots, 0, k - 1)
+    # out-of-range target => update dropped; non-accepted lanes route to K
+    tgt = jnp.where(accept, safe, k)
+    write_geom = accept & ((kinds == 1) | (kinds == 3))
+    tgt_geom = jnp.where(write_geom, safe, k)
+
+    new_xy = state.xy.at[tgt_geom].set(xys, mode="drop")
+    new_marks = state.marks.at[tgt_geom].set(markss, mode="drop")
+    tgt_birth = jnp.where(accept & (kinds == 1), safe, k)
+    tgt_death = jnp.where(accept & (kinds == 2), safe, k)
+    new_alive = (
+        state.alive.at[tgt_birth].set(True, mode="drop")
+        .at[tgt_death].set(False, mode="drop")
+    )
+    state2 = state.replace(xy=new_xy, marks=new_marks, alive=new_alive)
+
+    polys_new = marks_to_poly(xys, markss[:, 0], markss[:, 1], markss[:, 2])
+    areas_new = rect_area(markss[:, 0], markss[:, 1])
+    polys = cache.polys.at[tgt_geom].set(polys_new, mode="drop")
+    areas = cache.areas.at[tgt_geom].set(areas_new, mode="drop")
+
+    # batched pair rows of every touched slot vs the FINAL state: (m, K)
+    xy_u = state2.xy[safe]
+    dist_rows = jnp.linalg.norm(
+        state2.xy[None, :, :] - xy_u[:, None, :], axis=-1
+    )
+    inter = quad_intersection_area_matrix(polys[safe], polys)
+    min_area = jnp.minimum(areas[None, :], areas[safe][:, None])
+    overlap_rows = inter / (min_area + 1e-6)
+    dangle = state2.marks[safe, 2][:, None] - state2.marks[None, :, 2]
+    align_rows = 1.0 - jnp.abs(jnp.cos(dangle)) - float(spec.rewarding_align)
+
+    def set_row_col(mat, rows):
+        mat = mat.at[tgt, :].set(rows, mode="drop")
+        return mat.at[:, tgt].set(rows.T, mode="drop")
+
+    cache2 = EnergyCache(
+        dist=set_row_col(cache.dist, dist_rows),
+        overlap=set_row_col(cache.overlap, overlap_rows),
+        align=set_row_col(cache.align, align_rows),
+        pos_e=cache.pos_e.at[tgt].set(pos_us, mode="drop"),
+        mark_e=cache.mark_e.at[tgt].set(mark_us, mode="drop"),
         polys=polys,
         areas=areas,
     )
+    return state2, cache2
 
 
 def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
@@ -585,19 +620,12 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
             pos_us, mark_us = merge(pos_us), merge(mark_us)
             accept = merge(accept, is_bool=True)
 
-        # apply accepted proposals sequentially (they touch disjoint slots)
-        def body(i, sc):
-            st, ca = sc
-            st2 = _apply_one(st, kinds[i], slots[i], xys[i], markss[i])
-            slot_i = jnp.clip(slots[i], 0, st.capacity - 1)
-            ca2 = _row_update_provided(
-                st2, spec, ca, slot_i, pos_us[i], mark_us[i]
-            )
-            return jax.tree_util.tree_map(
-                lambda a, b: jnp.where(accept[i], a, b), (st2, ca2), (st, ca)
-            )
-
-        state, cache = jax.lax.fori_loop(0, m, body, (state, cache))
+        # apply all accepted proposals in one batched scatter (they touch
+        # pairwise-distinct slots and cannot interact)
+        state, cache = _apply_batch(
+            state, cache, spec, kinds, slots, xys, markss, pos_us, mark_us,
+            accept,
+        )
         energy = energy + jnp.sum(jnp.where(accept, deltas, 0.0))
         temp = jnp.where(temp > t_target, temp * alpha_t, temp)
         stats = (jnp.sum(accept), jnp.sum(kinds != 0))

@@ -158,3 +158,43 @@ def test_superstep_deltas_exact_vs_bruteforce():
             fast[i], float(u_i - u0), rtol=1e-4, atol=1e-4,
             err_msg=f"proposal {i} (kind {int(kinds[i])})",
         )
+
+
+def test_batched_apply_cache_matches_rebuild():
+    """After supersteps with many simultaneous accepts, the scattered cache
+    must equal a from-scratch build on the final state (alive entries)."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.parallel_sampler import (
+        make_local_view,
+        make_parallel_step,
+    )
+    from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import build_cache
+
+    maps, kd, comb, det, centers = _setup()
+    view = make_local_view(kd, maps)
+    h, w = kd.log_birth_density.shape
+    from mpp_cnn_rs_object_detection_tpu.mpp.parallel_sampler import CELL
+    n_cells = max(h, w) // (2 * CELL) + 1
+    step = jax.jit(
+        make_parallel_step(maps, LEGACY_SPEC, comb, kd, 0.994, 0.0, n_cells)
+    )
+    state = empty_state(32)
+    cache = build_cache(state, maps, LEGACY_SPEC)
+    carry = (state, cache, jnp.asarray(0.0), jnp.asarray(1.0))
+    for i in range(500):
+        carry, _ = step(carry, jax.random.PRNGKey(100 + i))
+    state, cache = carry[0], carry[1]
+    assert int(state.n_points) >= 2  # exercised multi-accept supersteps
+    fresh = build_cache(state, maps, LEGACY_SPEC)
+    pair_mask = np.asarray(state.alive)[:, None] & np.asarray(state.alive)[None, :]
+    for name in ("dist", "overlap", "align"):
+        got = np.asarray(getattr(cache, name))[pair_mask]
+        want = np.asarray(getattr(fresh, name))[pair_mask]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4,
+                                   err_msg=name)
+    alive = np.asarray(state.alive)
+    np.testing.assert_allclose(np.asarray(cache.pos_e)[alive],
+                               np.asarray(fresh.pos_e)[alive],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cache.mark_e)[alive],
+                               np.asarray(fresh.mark_e)[alive],
+                               rtol=1e-4, atol=1e-4)
