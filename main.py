@@ -64,6 +64,18 @@ def main(argv=None):
 
     enable_persistent_compilation_cache()
 
+    # device-level tracing (SURVEY §5 profiling equivalent of RJMCMCTimer):
+    # MPP_PROFILE_DIR=/path captures a jax.profiler trace of the whole
+    # procedure, viewable in TensorBoard/Perfetto.
+    profile_dir = os.environ.get("MPP_PROFILE_DIR")
+    if profile_dir:
+        import atexit
+
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+        atexit.register(jax.profiler.stop_trace)
+
     if args.procedure == "translate_dota":
         from mpp_cnn_rs_object_detection_tpu.data.translate_dota import translate_dota
 
