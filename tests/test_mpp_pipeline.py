@@ -102,6 +102,9 @@ def _mpp_config(name="mpp_m", extra=None):
                 "burn_in": 1200,
             },
             "max_score": 4.0,
+            # exercise detection-map score blending (w=0 would be the
+            # reference's pure-papangelou ranking)
+            "score_map_blend": 2.0,
         },
     }
     cfg.update(extra or {})
