@@ -105,6 +105,8 @@ def _mpp_config(name="mpp_m", extra=None):
             # exercise detection-map score blending (w=0 would be the
             # reference's pure-papangelou ranking)
             "score_map_blend": 2.0,
+            # and detection-map backfill of chain-dropped peaks
+            "backfill_threshold": 0.35,
         },
     }
     cfg.update(extra or {})
