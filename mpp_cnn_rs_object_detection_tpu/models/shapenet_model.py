@@ -331,7 +331,8 @@ class ShapeNetModel(BaseModel, PatchBasedTrainer):
             pred_params = []
             for c in pred_centers:
                 sra = [
-                    m.class_to_value(int(np.argmax(d[c[0], c[1]])))
+                    # bin-center decode (unbiased inverse of floor encode)
+                    float(m.class_to_center_value(np.argmax(d[c[0], c[1]])))
                     for m, d in zip(self.mappings, dist_maps)
                 ]
                 pred_params.append(sra_to_wla(*sra))

@@ -256,7 +256,7 @@ def _birth_common(key, state: PointsState, kd: KernelData, p_half: Array,
     # density is unchanged (the pixel's mass spread over its unit square),
     # so every Green ratio below is untouched. The reference truncates to
     # the pixel grid (its integer map gather can't resolve finer).
-    jitter = jax.random.uniform(k_sub, (2,))
+    jitter = jax.random.uniform(k_sub, (5,))
     if data_driven:
         u = jax.random.uniform(k_pos)
         idx = jnp.searchsorted(kd.birth_cdf, u, side="left")
@@ -267,8 +267,14 @@ def _birth_common(key, state: PointsState, kd: KernelData, p_half: Array,
         cls = jnp.stack(
             [jax.random.categorical(keys[m], _log(rows[m])) for m in range(3)]
         )
+        # marks are CONTINUOUS too: bin draw + U[0,1) in-bin jitter (the
+        # bin's mass spread over its width — per-unit-value density
+        # unchanged, same argument as the position jitter above)
+        n_cls = kd.mark_dists.shape[-1]
+        steps = (kd.map_vmax - kd.map_vmin) / n_cls
         marks = jnp.stack(
-            [_class_to_value(kd, m, cls[m]) for m in range(3)]
+            [_class_to_value(kd, m, cls[m]) + jitter[2 + m] * steps[m]
+             for m in range(3)]
         )
         log_q = (
             kd.log_birth_density[xi, yi]
@@ -293,7 +299,7 @@ def _birth_common(key, state: PointsState, kd: KernelData, p_half: Array,
     slot = jnp.argmin(state.alive)
     full = jnp.all(state.alive)
     prop = _mk_prop(
-        BIRTH, slot, jnp.array([xi, yi], jnp.float32) + jitter, marks,
+        BIRTH, slot, jnp.array([xi, yi], jnp.float32) + jitter[:2], marks,
         _log(p_half) + log_q - _log(kd.intensity),
         _log(p_half) - _log((n + 1).astype(jnp.float32)),
     )
@@ -419,14 +425,21 @@ def _gaussian_transform(key, state: PointsState, kd: KernelData,
 def _data_transform(key, state: PointsState, kd: KernelData,
                     p_kernel: Array) -> Proposal:
     n = state.n_points
-    k_slot, k_param, k_cls = jax.random.split(key, 3)
+    k_slot, k_param, k_cls, k_sub = jax.random.split(key, 4)
     slot = _random_alive_slot(k_slot, state.alive)
     safe_slot = jnp.maximum(slot, 0)
     pid = jax.random.randint(k_param, (), 0, 3)
     xi, yi = _pixel_of(state, kd, safe_slot)
     row = kd.mark_dists[pid, xi, yi, :]
     new_cls = jax.random.categorical(k_cls, _log(row))
-    new_val = _class_to_value(kd, pid, new_cls)
+    # continuous mark: bin draw + U[0,1) in-bin jitter (density per unit
+    # value unchanged; the reverse density reads the old value's floor bin)
+    n_cls_t = kd.mark_dists.shape[-1]
+    step_t = (kd.map_vmax[pid] - kd.map_vmin[pid]) / n_cls_t
+    new_val = (
+        _class_to_value(kd, pid, new_cls)
+        + jax.random.uniform(k_sub) * step_t
+    )
     old_cls = _value_to_class(kd, pid, state.marks[safe_slot, pid])
     new_marks = state.marks[safe_slot].at[pid].set(new_val)
     nf = n.astype(jnp.float32)

@@ -14,6 +14,7 @@ import logging
 import os
 import pickle
 import re
+import time
 from typing import Dict, List, Optional
 
 import jax
@@ -302,7 +303,9 @@ class MPPModel(BaseModel):
             if os.path.exists(out_pkl) and not overwrite:
                 logging.info(f"{out_pkl} exists, skipping")
                 continue
+            t_stage = time.perf_counter()
             data = self._load_image(patch_id, subset)
+            t_load = time.perf_counter() - t_stage
             scene_mode = self.config["inference"].get("scene_mode", "tiled")
             mesh = None
             if self.config["inference"].get("tile_mesh") or (
@@ -330,6 +333,7 @@ class MPPModel(BaseModel):
             # every annealing segment is checkpointed and a process-level
             # rerun (scripts/resilient_run.py) resumes at the last segment,
             # losing <= segment_size moves per crash
+            t_stage = time.perf_counter()
             result = run_mpp_on_scene(
                 data,
                 self.energy_setup,
@@ -346,6 +350,8 @@ class MPPModel(BaseModel):
                 ),
                 mesh=mesh,
             )
+            t_chain = time.perf_counter() - t_stage
+            t_stage = time.perf_counter()
 
             det_centers = np.asarray(result.centers).reshape(-1, 2)
             if self.config["inference"].get("refine_centers", True):
@@ -405,17 +411,32 @@ class MPPModel(BaseModel):
                     pc = pc[dmin > 4.0]
                 if len(pc):
                     ijb = pc.astype(int)
-                    marks_bf = np.stack(
-                        [
-                            m.class_to_value(
-                                np.argmax(d[ijb[:, 0], ijb[:, 1]], axis=-1)
+                    # posterior-MEAN marks (circular mean for the cyclic
+                    # angle): +0.3 pp SV mAP@0.5 over argmax on the val
+                    # artifacts (scripts/backfill_sweep probes) — backfilled
+                    # peaks never get chain refinement, so the distribution
+                    # mean is the best point estimate available
+                    marks_bf_cols = []
+                    for m, d in zip(data.mappings, data.param_dist_maps):
+                        probs = d[ijb[:, 0], ijb[:, 1]].astype(np.float64)
+                        centers_v = m.class_to_center_value(
+                            np.arange(probs.shape[-1])
+                        ).astype(np.float64)
+                        if getattr(m, "is_cyclic", False):
+                            # angle lives on [0, pi): average on the doubled
+                            # circle
+                            z = (probs * np.exp(2j * centers_v)).sum(-1)
+                            marks_bf_cols.append(
+                                (np.angle(z) / 2.0) % np.pi
                             )
-                            for m, d in zip(
-                                data.mappings, data.param_dist_maps
+                        else:
+                            marks_bf_cols.append(
+                                (probs * centers_v).sum(-1)
+                                / np.maximum(probs.sum(-1), 1e-9)
                             )
-                        ],
-                        axis=-1,
-                    ).astype(np.float32)
+                    marks_bf = np.stack(marks_bf_cols, axis=-1).astype(
+                        np.float32
+                    )
                     scores_bf = (
                         0.2 * dm[ijb[:, 0], ijb[:, 1]]
                         / (1.0 + blend_w) * max_score
@@ -500,6 +521,11 @@ class MPPModel(BaseModel):
                 rectangles_over_image(
                     data.image, centers, gt_params, color=(0, 255, 0)
                 ),
+            )
+            logging.info(
+                f"scene {patch_id:04} stage seconds: load_maps={t_load:.1f} "
+                f"chain={t_chain:.1f} "
+                f"post+export={time.perf_counter() - t_stage:.1f}"
             )
         dota_trlt.save()
         dota_trlt_sv.save()

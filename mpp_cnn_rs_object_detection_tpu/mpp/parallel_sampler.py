@@ -162,7 +162,15 @@ def _cell_proposal(key, state: PointsState, kd: KernelData, view: MapView,
     cls = jnp.stack(
         [jax.random.categorical(mkeys[m], _log(rows[m])) for m in range(3)]
     )
-    birth_marks = jnp.stack([_class_to_value(kd, m, cls[m]) for m in range(3)])
+    # continuous marks: bin draw + U[0,1) in-bin jitter (per-unit-value
+    # density unchanged; mirrors the in-pixel position jitter above)
+    n_cls_b = view.mark_dists.shape[-1]
+    steps_b = (kd.map_vmax - kd.map_vmin) / n_cls_b
+    mjit = jax.random.uniform(jax.random.fold_in(k_marks, 7), (3,))
+    birth_marks = jnp.stack(
+        [_class_to_value(kd, m, cls[m]) + mjit[m] * steps_b[m]
+         for m in range(3)]
+    )
     log_q_marks = sum(_log(rows[m][cls[m]]) for m in range(3))
     n_classes = view.mark_dists.shape[-1]
     log_q_birth = log_q_pos + log_q_marks + 3 * jnp.log(float(n_classes))
@@ -263,8 +271,6 @@ def _unary_at(maps: EnergyMaps, spec: EnergySpec, xy: Array, marks: Array,
     point-wise analog of ``energies.data_columns``. With ``view`` the gathers
     read the device-local row blocks (sharded maps); ``maps`` still supplies
     the replicated mapping scalars."""
-    from mpp_cnn_rs_object_detection_tpu.mpp.energies import marks_to_class
-
     if spec.data_term != "cnn":
         from mpp_cnn_rs_object_detection_tpu.mpp.classic_energies import (
             ContrastConfig,
@@ -287,13 +293,15 @@ def _unary_at(maps: EnergyMaps, spec: EnergySpec, xy: Array, marks: Array,
         row0 = view.row0_md
         h, w = hw
     from mpp_cnn_rs_object_detection_tpu.mpp.energies import (
-        mark_lookup,
+        mark_lookup_interp,
         position_lookup,
     )
 
     pos = position_lookup(position, xy, h, w, row0=row0)
-    cls = marks_to_class(marks, maps)
-    mark = mark_lookup(mark_maps, xy, cls, h, w, row0=row0)
+    mark = mark_lookup_interp(
+        mark_maps, xy, marks, maps.map_vmin, maps.map_vmax, maps.map_cyclic,
+        h, w, row0=row0,
+    )
     return pos, mark
 
 

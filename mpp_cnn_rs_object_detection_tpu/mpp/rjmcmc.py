@@ -133,8 +133,6 @@ def _pair_row(state: PointsState, spec: EnergySpec, slot: Array,
 
 def _unary_row(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
                slot: Array) -> Tuple[Array, Array]:
-    from mpp_cnn_rs_object_detection_tpu.mpp.energies import marks_to_class
-
     if spec.data_term != "cnn":
         from mpp_cnn_rs_object_detection_tpu.mpp.classic_energies import (
             ContrastConfig,
@@ -154,21 +152,22 @@ def _unary_row(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
         return val, jnp.zeros((3,), jnp.float32)
 
     from mpp_cnn_rs_object_detection_tpu.mpp.energies import (
-        mark_lookup,
+        mark_lookup_interp,
         position_lookup,
     )
 
     h, w = maps.position.shape
     pos = position_lookup(maps.position, state.xy[slot], h, w)
-    cls = marks_to_class(state.marks[slot], maps)  # (3,)
-    mark = mark_lookup(maps.mark_maps, state.xy[slot], cls, h, w)
+    mark = mark_lookup_interp(
+        maps.mark_maps, state.xy[slot], state.marks[slot],
+        maps.map_vmin, maps.map_vmax, maps.map_cyclic, h, w,
+    )
     return pos, mark
 
 
 def build_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec
                 ) -> EnergyCache:
     """Full O(K^2) cache build (once per chain)."""
-    from mpp_cnn_rs_object_detection_tpu.mpp.energies import marks_to_class
     from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
         marks_to_poly,
         quad_intersection_area_matrix,
@@ -189,14 +188,16 @@ def build_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec
 
     if spec.data_term == "cnn":
         from mpp_cnn_rs_object_detection_tpu.mpp.energies import (
-            mark_lookup,
+            mark_lookup_interp,
             position_lookup,
         )
 
         h, w = maps.position.shape
         pos_e = position_lookup(maps.position, state.xy, h, w)
-        cls = marks_to_class(state.marks, maps)
-        mark_e = mark_lookup(maps.mark_maps, state.xy, cls, h, w)
+        mark_e = mark_lookup_interp(
+            maps.mark_maps, state.xy, state.marks,
+            maps.map_vmin, maps.map_vmax, maps.map_cyclic, h, w,
+        )
     else:
         from mpp_cnn_rs_object_detection_tpu.mpp.energies import data_columns
 

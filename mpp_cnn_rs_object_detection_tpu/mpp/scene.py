@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -54,7 +55,9 @@ def naive_detection(data: ImageWMaps, detection_threshold: float
     cy, cx = nms_centers[:, 0], nms_centers[:, 1]
     marks = np.stack(
         [
-            m.class_to_value(np.argmax(d[cy, cx], axis=-1))
+            # bin-CENTER decode (unbiased inverse of the floor encode; the
+            # reference's left-edge decode starts chains -step/2 small)
+            m.class_to_center_value(np.argmax(d[cy, cx], axis=-1))
             for m, d in zip(data.mappings, data.param_dist_maps)
         ],
         axis=-1,
@@ -124,6 +127,7 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
         data.shape = data.image.shape[:2]
     h, w = data.shape
 
+    t_prep = time.perf_counter()
     if init == "naive":
         c0, m0 = naive_detection(data, setup.detection_threshold)
     elif init == "gt":
@@ -189,6 +193,8 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     base_key = jax.random.PRNGKey(seed)
     cache = None
     segments_run = 0
+    t_prep = time.perf_counter() - t_prep
+    t_chain = time.perf_counter()
     while done < total_super:
         n = min(seg_super, total_super - done)
         state, cache, stats = run_exact_scene_chain(
@@ -214,12 +220,16 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     if checkpoint_path and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
 
+    t_chain = time.perf_counter() - t_chain
+    t_score = time.perf_counter()
     scores_k = np.asarray(papangelou(state, maps, setup.spec, comb))
     xy, marks = state_to_arrays(state)
     alive = np.asarray(state.alive)
     logging.info(
         f"scene {data.name}: exact chain {total_super} supersteps x ~{mps} "
-        f"cells (K={cap}, {n_dev} device(s)) -> {len(xy)} detections"
+        f"cells (K={cap}, {n_dev} device(s)) -> {len(xy)} detections "
+        f"[prep={t_prep:.1f}s segments={t_chain:.1f}s "
+        f"papangelou={time.perf_counter() - t_score:.1f}s]"
     )
     return SceneResult(
         centers=np.asarray(xy).reshape(-1, 2),

@@ -69,6 +69,15 @@ class ValueMapping:
             return fm[class_id]
         return self.feature_mapping[np.asarray(class_id)]
 
+    def class_to_center_value(self, class_id):
+        """Bin CENTER instead of the reference's left edge
+        (``mappings.py:62-74``). ``value_to_class`` floors, so decoding at
+        the left edge biases every decoded mark down by step/2 — measured
+        −7.6% median size at GT centers on the train split. Center decode is
+        the unbiased inverse; used at detection-output sites (the on-disk
+        class ids are unchanged)."""
+        return self.class_to_value(class_id) + 0.5 * self.get_step()
+
     def value_to_one_hot(self, value, interpolation=None):
         """One-hot (or linearly interpolated two-hot) encoding of values."""
         value = np.atleast_1d(np.asarray(value, dtype=np.float64))
