@@ -27,7 +27,10 @@ PROBE = (
 
 
 def wait_for_device(poll_s: float = 60.0, probe_timeout_s: float = 240.0,
-                    max_wait_s: float = 3600.0) -> bool:
+                    max_wait_s: float = 6 * 3600.0) -> bool:
+    # multi-hour axon worker outages observed on this host; a premature
+    # give-up makes a runbook burn through all its stages while the device
+    # is down, so the ceiling errs long
     """Block until a fresh process can run a jitted op on the device."""
     t0 = time.time()
     while time.time() - t0 < max_wait_s:
