@@ -92,14 +92,15 @@ def _prepare_one(image_id: int, path_image: str, path_label: str,
 
 
 def translate_cowc(config: Dict):
-    """config keys: ``cowc_path`` (raw data candidates), ``dataset_name``,
+    """config keys: ``cowc_path`` (raw data candidates; the reference's
+    ``cowc_base_path``/``name`` spellings are accepted too, so its
+    ``translate_COWC_config.json`` works unchanged), ``dataset_name``,
     ``target_gsd`` (default 0.5), ``val_fraction`` (default 0.25)."""
+    path_cfg = config.get("cowc_path", config.get("cowc_base_path"))
     raw = find_existing_path(
-        config["cowc_path"]
-        if isinstance(config["cowc_path"], list)
-        else [config["cowc_path"]]
+        path_cfg if isinstance(path_cfg, list) else [path_cfg]
     )
-    name = config.get("dataset_name", "COWC_gsd50")
+    name = config.get("dataset_name", config.get("name", "COWC_gsd50"))
     target_gsd = config.get("target_gsd", 0.5)
     val_fraction = config.get("val_fraction", 0.25)
     scale = COWC_GSD / target_gsd

@@ -360,6 +360,24 @@ class PosNetModel(BaseModel, PatchBasedTrainer):
         )
         return np.clip(-div / 2, 0, 1) * mask
 
+    def detection_map_on_image(self, image: np.ndarray) -> np.ndarray:
+        """Detection map for one image; with ``inference.tta`` true, the mean
+        over the 8 dihedral symmetries (``ops/dihedral.py``) — each variant is
+        a full forward + div, pulled back to the original frame. Extension
+        (no reference equivalent); default off."""
+        if not bool(self.config.get("inference", {}).get("tta", False)):
+            mask, vec = self.infer_on_image(image)
+            return self.vec2detection_map(vec, mask)
+        from mpp_cnn_rs_object_detection_tpu.ops.dihedral import (
+            tta_scalar_map,
+        )
+
+        def one(img_t):
+            mask, vec = self.infer_on_image(np.ascontiguousarray(img_t))
+            return self.vec2detection_map(vec, mask)
+
+        return tta_scalar_map(one, image)
+
     def compute_errors(self, rescale_fac: float = 1.0):
         """|target_mask - predicted_mask| per train image -> density PNGs for
         the DensitySampler (reference ``pos_net_model.py:234-269``)."""
@@ -418,8 +436,7 @@ class PosNetModel(BaseModel, PatchBasedTrainer):
                 labels_dict = pickle.load(f)
             centers = labels_dict["centers"]
 
-            mask, vec = self.infer_on_image(img)
-            detection_map = self.vec2detection_map(vec, mask)
+            detection_map = self.detection_map_on_image(img)
 
             det_centers = np.array(np.where(detection_map > min_confidence)).T
             det_scores = detection_map[det_centers[:, 0], det_centers[:, 1]]

@@ -282,6 +282,27 @@ class ShapeNetModel(BaseModel, PatchBasedTrainer):
                     o[s] = c
         return outs
 
+    def dist_maps_on_image(self, image: np.ndarray) -> List[np.ndarray]:
+        """Per-pixel mark distributions for one image; with ``inference.tta``
+        true, averaged over the 8 dihedral symmetries — size/ratio maps pull
+        back spatially, the cyclic angle map additionally permutes its bins by
+        the group action on [0, pi) (``ops/dihedral.py``). Extension; default
+        off."""
+        if not bool(self.config.get("inference", {}).get("tta", False)):
+            return self.infer_on_image(image)
+        from mpp_cnn_rs_object_detection_tpu.ops.dihedral import (
+            tta_dist_maps,
+        )
+
+        cyclic = tuple(
+            bool(getattr(m, "is_cyclic", False)) for m in self.mappings
+        )
+        return tta_dist_maps(
+            lambda x: self.infer_on_image(np.ascontiguousarray(x)),
+            image,
+            cyclic=cyclic,
+        )
+
     def infer(self, subset: str, overwrite=True, min_confidence=0.5, **kwargs):
         from mpp_cnn_rs_object_detection_tpu.models.posnet_model import PosNetModel
         from mpp_cnn_rs_object_detection_tpu.utils.config import (
@@ -318,8 +339,7 @@ class ShapeNetModel(BaseModel, PatchBasedTrainer):
             centers, params = labels_dict["centers"], labels_dict["parameters"]
 
             # posnet centers
-            mask, vec = pos_model.infer_on_image(img)
-            detection_map = pos_model.vec2detection_map(vec, mask)
+            detection_map = pos_model.detection_map_on_image(img)
             det_centers = np.array(np.where(detection_map > min_confidence)).T
             det_scores = detection_map[det_centers[:, 0], det_centers[:, 1]]
             pred_centers, pred_scores = nms_distance(
@@ -327,7 +347,7 @@ class ShapeNetModel(BaseModel, PatchBasedTrainer):
             )
 
             # shapenet marks at centers (argmax of per-pixel distributions)
-            dist_maps = self.infer_on_image(img)  # 3 x (H, W, C)
+            dist_maps = self.dist_maps_on_image(img)  # 3 x (H, W, C)
             pred_params = []
             for c in pred_centers:
                 sra = [

@@ -345,6 +345,9 @@ class MPPModel(BaseModel):
                 use_split_merge=use_split_merge,
                 sampler=self.config["inference"].get("sampler", "sequential"),
                 scene_mode=scene_mode,
+                polish_steps=int(
+                    self.config["inference"].get("polish_steps", 0)
+                ),
                 checkpoint_path=os.path.join(
                     results_dir, f"{patch_id:04}_chains.ck.npz"
                 ),

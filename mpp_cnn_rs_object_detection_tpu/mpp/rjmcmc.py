@@ -165,9 +165,16 @@ def _unary_row(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
     return pos, mark
 
 
-def build_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec
-                ) -> EnergyCache:
-    """Full O(K^2) cache build (once per chain)."""
+def build_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
+                safe_dist: bool = False) -> EnergyCache:
+    """Full O(K^2) cache build (once per chain).
+
+    ``safe_dist``: compute distances as ``sqrt(sum(d^2) + 1e-12)`` instead of
+    ``jnp.linalg.norm``. The norm's jacobian at the zero diagonal is NaN, and
+    under ``jax.grad`` (the detection polish, ``mpp/polish.py``) that NaN
+    survives the zero cotangent of the boolean distance masks (0 * NaN). The
+    +1e-12 shifts distances by < 1e-6 px; chain paths keep the exact norm.
+    """
     from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
         marks_to_poly,
         quad_intersection_area_matrix,
@@ -179,7 +186,10 @@ def build_cache(state: PointsState, maps: EnergyMaps, spec: EnergySpec
     )
     areas = rect_area(state.marks[:, 0], state.marks[:, 1])
     diff = state.xy[:, None, :] - state.xy[None, :, :]
-    dist = jnp.linalg.norm(diff, axis=-1)
+    if safe_dist:
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    else:
+        dist = jnp.linalg.norm(diff, axis=-1)
     inter = quad_intersection_area_matrix(polys, polys)
     min_area = jnp.minimum(areas[:, None], areas[None, :])
     overlap = inter / (min_area + 1e-6)

@@ -99,7 +99,7 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                     checkpoint_path: Optional[str] = None,
                     segment_size: int = 4096,
                     max_segments: Optional[int] = None,
-                    mesh=None) -> Optional[SceneResult]:
+                    mesh=None, polish_steps: int = 0) -> Optional[SceneResult]:
     """EXACT whole-scene MPP: one global cell-parallel chain over the full
     maps — no tiling, no ``merge_patch_results`` distance-dedup; optionally
     row-sharded over ``mesh`` with halo-exact cross-band pair energies
@@ -222,6 +222,16 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
 
     t_chain = time.perf_counter() - t_chain
     t_score = time.perf_counter()
+    if polish_steps > 0:
+        from mpp_cnn_rs_object_detection_tpu.mpp.polish import polish_state
+
+        state, (u_pre, u_post) = polish_state(
+            state, maps, setup.spec, comb, n_steps=int(polish_steps)
+        )
+        logging.info(
+            f"scene {data.name}: polish {polish_steps} steps "
+            f"U {float(u_pre):.2f} -> {float(u_post):.2f}"
+        )
     scores_k = np.asarray(papangelou(state, maps, setup.spec, comb))
     xy, marks = state_to_arrays(state)
     alive = np.asarray(state.alive)
@@ -251,7 +261,7 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                      segment_size: int = 4096,
                      max_segments: Optional[int] = None,
                      max_tiles_per_launch: int = 12,
-                     mesh=None) -> Optional[SceneResult]:
+                     mesh=None, polish_steps: int = 0) -> Optional[SceneResult]:
     """Full-scene MPP inference (reference ``mpp_model.py:202-321`` infer body).
 
     ``checkpoint_path``: optional ``.npz`` the sequential sampler writes after
@@ -280,7 +290,7 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
             data, setup, comb, params, seed=seed, capacity=capacity,
             init=init, kernel_weights=kernel_weights,
             checkpoint_path=checkpoint_path, segment_size=segment_size,
-            max_segments=max_segments, mesh=mesh,
+            max_segments=max_segments, mesh=mesh, polish_steps=polish_steps,
         )
     data = pad_image_w_maps(data, patch_size)
     patches = split_image(data, patch_size, min_overlap)
@@ -570,10 +580,29 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     # global papangelou rescoring on the full-scene maps
     if len(centers) > 0:
         scene_maps = setup.make_maps(data)
-        scene_state = state_from_arrays(
-            centers, marks, capacity=int(len(centers))
-        )
-        scores = np.asarray(papangelou(scene_state, scene_maps, spec, comb))
+        # bucket K to a multiple of 64: the polish/papangelou programs
+        # specialise on capacity, and detection counts vary run to run —
+        # exact-K capacities would recompile (~minutes on this host) for
+        # every count, where buckets hit the persistent compile cache
+        cap_b = -(-max(len(centers), 1) // 64) * 64
+        scene_state = state_from_arrays(centers, marks, capacity=cap_b)
+        if polish_steps > 0:
+            from mpp_cnn_rs_object_detection_tpu.mpp.polish import (
+                polish_state,
+            )
+
+            scene_state, (u_pre, u_post) = polish_state(
+                scene_state, scene_maps, spec, comb,
+                n_steps=int(polish_steps),
+            )
+            centers, marks = state_to_arrays(scene_state)
+            logging.info(
+                f"scene {data.name}: polish {polish_steps} steps "
+                f"U {float(u_pre):.2f} -> {float(u_post):.2f}"
+            )
+        scores = np.asarray(
+            papangelou(scene_state, scene_maps, spec, comb)
+        )[: len(centers)]
 
     logging.info(
         f"scene {data.name}: {n_tiles} tiles x {params.total_steps} moves -> "

@@ -59,9 +59,14 @@ def main(argv):
         argv = argv[1:]
     for attempt in range(1, max_attempts + 1):
         if not wait_for_device():
-            print("[resilient_run] device never came back; giving up",
+            # a wait window expiring consumes an attempt but does NOT give
+            # up: stages later in a runbook depend on this one's artifacts,
+            # so keep waiting as long as attempts remain (>6h outages
+            # observed on this host)
+            print(f"[resilient_run] device wait window expired "
+                  f"(attempt {attempt}/{max_attempts}); re-waiting",
                   flush=True)
-            return 2
+            continue
         print(f"[resilient_run] attempt {attempt}/{max_attempts}: "
               f"main.py {' '.join(argv)}", flush=True)
         r = subprocess.run([sys.executable, "main.py", *argv], cwd=REPO)

@@ -251,3 +251,51 @@ def test_on_the_fly_patch_dataset(synth_env):
     x, y = next(iter(BatchLoader(ds, batch_size=4, rng=rng)))
     assert x.shape == (4, 32, 32, 3)
     assert y["mask"].shape == (4, 32, 32)
+
+
+def test_translate_cowc_reference_config_keys(synth_env):
+    """COWC translator end-to-end on fabricated raw data, driven by a config
+    using the REFERENCE's key spellings (``cowc_base_path``/``name``,
+    reference ``translate_COWC_config.json``)."""
+    from PIL import Image
+
+    from mpp_cnn_rs_object_detection_tpu.data.translate_cowc import (
+        translate_cowc,
+    )
+
+    raw = synth_env / "cowc_raw" / "Utah"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        img = (rng.uniform(0, 255, (60, 80, 3))).astype(np.uint8)
+        ann = np.zeros((60, 80, 3), np.uint8)
+        for r, c in [(10, 12), (30, 40), (50, 70)]:
+            ann[r, c] = (255, 0, 0)
+        Image.fromarray(img).save(raw / f"img{i}.png")
+        Image.fromarray(ann).save(raw / f"img{i}_Annotated_Cars.png")
+        # negatives masks must be skipped, not treated as images
+        Image.fromarray(ann * 0).save(raw / f"img{i}_Annotated_Negatives.png")
+
+    translate_cowc(
+        {
+            "name": "COWC_t",
+            "cowc_base_path": [str(synth_env / "cowc_raw")],
+            "target_gsd": 0.5,
+            "val_fraction": 0.34,
+            "seed": 0,
+        }
+    )
+    root = synth_env / "datasets" / "COWC_t"
+    assert sorted(os.listdir(root)) == ["train", "val"]
+    n_train = len(os.listdir(root / "train" / "images"))
+    n_val = len(os.listdir(root / "val" / "images"))
+    assert n_train == 2 and n_val == 1
+    with open(root / "train" / "annotations" / "0000.pkl", "rb") as f:
+        ann = pickle.load(f)
+    # 0.15 -> 0.5 m/px shrinks by 0.3: 3 centers, scaled into the new frame
+    assert ann["centers"].shape == (3, 2)
+    assert (ann["parameters"] == [4.0, 4.0, 0.0]).all()
+    img = np.asarray(Image.open(root / "train" / "images" / "0000.png"))
+    assert img.shape == (18, 24, 3)
+    assert (ann["centers"] >= 0).all()
+    assert (ann["centers"][:, 0] < 18).all() and (ann["centers"][:, 1] < 24).all()
