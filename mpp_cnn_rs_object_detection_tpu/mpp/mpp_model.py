@@ -348,6 +348,7 @@ class MPPModel(BaseModel):
                 polish_steps=int(
                     self.config["inference"].get("polish_steps", 0)
                 ),
+                restarts=int(self.config["inference"].get("restarts", 1)),
                 checkpoint_path=os.path.join(
                     results_dir, f"{patch_id:04}_chains.ck.npz"
                 ),

@@ -99,12 +99,19 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                     checkpoint_path: Optional[str] = None,
                     segment_size: int = 4096,
                     max_segments: Optional[int] = None,
-                    mesh=None, polish_steps: int = 0) -> Optional[SceneResult]:
+                    mesh=None, polish_steps: int = 0,
+                    restarts: int = 1) -> Optional[SceneResult]:
     """EXACT whole-scene MPP: one global cell-parallel chain over the full
     maps — no tiling, no ``merge_patch_results`` distance-dedup; optionally
     row-sharded over ``mesh`` with halo-exact cross-band pair energies
     (``parallel/sharded_scene.py``). Replaces the reference's tile+dedup
-    approximation (``models/mpp/data_loaders.py:122-161``)."""
+    approximation (``models/mpp/data_loaders.py:122-161``).
+
+    ``restarts``: run N independent annealing chains (vmapped on-device,
+    lane key = ``fold_in(segment_key, lane)``) and keep the lowest final
+    energy — a best-of-N quality knob the sequential CPU reference can't
+    afford (its chains cost minutes each; here extra lanes ride the same
+    launch). Single-device only; ignored (with a warning) under a mesh."""
     from mpp_cnn_rs_object_detection_tpu.mpp.parallel_sampler import CELL
     from mpp_cnn_rs_object_detection_tpu.parallel.sharded_scene import (
         run_exact_scene_chain,
@@ -166,9 +173,16 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     t_target = params.resolved_t_target()
     seg_super = max(1, segment_size // ms_tile)
 
+    n_restarts = max(1, int(restarts))
+    if n_restarts > 1 and mesh is not None and n_dev > 1:
+        logging.warning(
+            "exact scene: restarts > 1 is single-device only; ignoring"
+        )
+        n_restarts = 1
     done, t0 = 0, float(params.t0)
     fingerprint = np.array(
-        [total_super, seg_super, alpha_super, t_target, cap, h, w], np.float64
+        [total_super, seg_super, alpha_super, t_target, cap, h, w,
+         n_restarts], np.float64
     )
     if checkpoint_path and os.path.exists(checkpoint_path):
         ck = np.load(checkpoint_path)
@@ -191,17 +205,42 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                 f"scene {data.name}: exact checkpoint mismatch — restarting"
             )
     base_key = jax.random.PRNGKey(seed)
+    if n_restarts > 1 and state.xy.ndim == 2:
+        # broadcast the shared init over the restart lanes (a resumed
+        # checkpoint is already batched — its fingerprint pinned n_restarts)
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n_restarts,) + x.shape), state
+        )
     cache = None
+    stats = None
     segments_run = 0
     t_prep = time.perf_counter() - t_prep
     t_chain = time.perf_counter()
     while done < total_super:
         n = min(seg_super, total_super - done)
-        state, cache, stats = run_exact_scene_chain(
-            jax.random.fold_in(base_key, done), state, maps, setup.spec,
-            comb, kd, n_supersteps=n, t0=t0, alpha_t=alpha_super,
-            t_target=t_target, mesh=mesh, cache=cache,
-        )
+        seg_key = jax.random.fold_in(base_key, done)
+        if n_restarts == 1:
+            state, cache, stats = run_exact_scene_chain(
+                seg_key, state, maps, setup.spec,
+                comb, kd, n_supersteps=n, t0=t0, alpha_t=alpha_super,
+                t_target=t_target, mesh=mesh, cache=cache,
+            )
+        else:
+            lane_keys = jax.vmap(
+                lambda i: jax.random.fold_in(seg_key, i)
+            )(jnp.arange(n_restarts))
+
+            def _one(k, st, ca=None):
+                return run_exact_scene_chain(
+                    k, st, maps, setup.spec, comb, kd, n_supersteps=n,
+                    t0=t0, alpha_t=alpha_super, t_target=t_target,
+                    mesh=None, cache=ca,
+                )
+
+            if cache is None:
+                state, cache, stats = jax.vmap(_one)(lane_keys, state)
+            else:
+                state, cache, stats = jax.vmap(_one)(lane_keys, state, cache)
         done += n
         t0 = max(float(t0 * alpha_super**n), t_target)
         segments_run += 1
@@ -222,6 +261,17 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
 
     t_chain = time.perf_counter() - t_chain
     t_score = time.perf_counter()
+    if n_restarts > 1 and state.xy.ndim == 3:
+        if stats is not None:
+            u_fin = np.asarray(stats.final_energy).reshape(-1)
+            best = int(np.argmin(u_fin))
+            logging.info(
+                f"scene {data.name}: best-of-{n_restarts} restarts — "
+                f"energies {np.round(u_fin, 2).tolist()} -> lane {best}"
+            )
+        else:
+            best = 0  # resumed past the end: all lanes checkpoint-identical
+        state = jax.tree_util.tree_map(lambda x: x[best], state)
     if polish_steps > 0:
         from mpp_cnn_rs_object_detection_tpu.mpp.polish import polish_state
 
@@ -261,7 +311,8 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                      segment_size: int = 4096,
                      max_segments: Optional[int] = None,
                      max_tiles_per_launch: int = 12,
-                     mesh=None, polish_steps: int = 0) -> Optional[SceneResult]:
+                     mesh=None, polish_steps: int = 0,
+                     restarts: int = 1) -> Optional[SceneResult]:
     """Full-scene MPP inference (reference ``mpp_model.py:202-321`` infer body).
 
     ``checkpoint_path``: optional ``.npz`` the sequential sampler writes after
@@ -291,6 +342,7 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
             init=init, kernel_weights=kernel_weights,
             checkpoint_path=checkpoint_path, segment_size=segment_size,
             max_segments=max_segments, mesh=mesh, polish_steps=polish_steps,
+            restarts=restarts,
         )
     data = pad_image_w_maps(data, patch_size)
     patches = split_image(data, patch_size, min_overlap)

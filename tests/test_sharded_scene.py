@@ -188,3 +188,66 @@ def test_run_mpp_on_scene_exact_mode():
         data, setup, comb, params, seed=3, capacity=32, scene_mode="exact",
     )
     np.testing.assert_allclose(res.centers, res1.centers, atol=1e-5)
+
+
+def test_run_exact_scene_restarts_best_of_n(caplog):
+    """inference.restarts: N vmapped annealing lanes, lowest final energy
+    kept. Deterministic for a fixed seed; the selection log proves the
+    batched path ran and picked the argmin lane."""
+    import logging as _logging
+
+    from mpp_cnn_rs_object_detection_tpu.mpp.energy_setups import (
+        NoCalibrationEnergySetup,
+    )
+    from mpp_cnn_rs_object_detection_tpu.mpp.image_data import ImageWMaps
+    from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import RJMCMCParams
+    from mpp_cnn_rs_object_detection_tpu.mpp.scene import run_mpp_on_scene
+
+    rng = np.random.default_rng(0)
+    mappings = default_mappings(n_classes=C, size_min=0, size_max=16)
+    centers = np.asarray(CENTERS[:5], np.float32)
+    gy, gx = np.mgrid[:H, :W]
+    det = np.zeros((H, W), np.float32)
+    for c in centers:
+        det += np.exp(-((gy - c[0]) ** 2 + (gx - c[1]) ** 2) / 8.0)
+    det = np.clip(det, 0, 1)
+    dist = np.full((H, W, C), 1.0 / C, np.float32)
+    marks = np.tile(np.asarray([[5.0, 0.5, 0.3]], np.float32),
+                    (len(centers), 1))
+    data = ImageWMaps(
+        image=np.stack([det] * 3, -1), name="restarts", shape=(H, W),
+        detection_map=det, param_dist_maps=[dist] * 3, mappings=mappings,
+        labels={"centers": centers,
+                "parameters": np.tile(
+                    np.asarray([[3.0, 7.0, 0.3]], np.float32),
+                    (len(centers), 1)),
+                "categories": np.zeros(len(centers), np.int32),
+                "difficult": np.zeros(len(centers), bool)},
+        gt_centers=centers, gt_marks=marks,
+    )
+    setup = NoCalibrationEnergySetup()
+    setup.calibrate([data], rng, save_path="")
+    comb = comb_lib.sum_combiner(setup.spec.names)
+    params = RJMCMCParams(n_steps=1500, alpha_t=0.995, n_samples=0,
+                          samples_interval=1)
+    with caplog.at_level(_logging.INFO):
+        res = run_mpp_on_scene(
+            data, setup, comb, params, seed=7, capacity=32,
+            scene_mode="exact", restarts=3,
+        )
+    assert res is not None
+    assert np.all(np.isfinite(res.scores)) and len(res.centers) > 0
+    sel = [r for r in caplog.records if "best-of-3 restarts" in r.message]
+    assert len(sel) == 1, [r.message for r in caplog.records]
+    # the logged lane is the argmin of the logged energies
+    msg = sel[0].message
+    energies = eval(msg.split("energies ")[1].split(" -> ")[0])
+    lane = int(msg.rsplit("lane ", 1)[1])
+    assert lane == int(np.argmin(energies)) and len(energies) == 3
+
+    res2 = run_mpp_on_scene(
+        data, setup, comb, params, seed=7, capacity=32,
+        scene_mode="exact", restarts=3,
+    )
+    np.testing.assert_allclose(res.centers, res2.centers, atol=1e-5)
+    np.testing.assert_allclose(res.scores, res2.scores, atol=1e-4)
