@@ -119,13 +119,24 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
 
     n_dev = 1 if mesh is None else int(mesh.devices.size)
     h0, w0 = data.shape
-    # rows must split evenly over the mesh with a CELL-row halo per band
-    mult = max(n_dev, 1)
+    # pad the maps up to 256-px buckets (any mesh size <= 256 divides the
+    # bucketed rows with a CELL-row halo per band). Buckets exist for the
+    # compile cache: the chain programs specialise on (H, W, K), scene
+    # sizes are arbitrary, and one signature costs ~350 s of host compile —
+    # similar scenes should share one executable. Pad cells hold zero
+    # detection density (births there are energetically rejected), and the
+    # chain itself is ~2 s at flagship scale, so the extra dead-area
+    # compute is noise next to one saved compile.
+    # small scenes (tests, crops) quantise at 2*CELL so their padding stays
+    # proportionate; real scenes use the coarse 256 quantum
+    quantum = 2 * CELL if (h0 <= 256 and w0 <= 256) else 256
+    mult = int(np.lcm(quantum, max(n_dev, 1)))
     target_h = -(-max(h0, 2 * CELL * n_dev) // mult) * mult
+    target_w = -(-max(w0, 2 * CELL) // quantum) * quantum
     data = pad_image_w_maps(data, 1)  # normalise crop_data
-    if data.shape[0] < target_h or data.shape[1] < 2 * CELL:
+    if data.shape[0] < target_h or data.shape[1] < target_w:
         ph = max(0, target_h - data.shape[0])
-        pw = max(0, 2 * CELL - data.shape[1])
+        pw = max(0, target_w - data.shape[1])
         data.image = np.pad(data.image, ((0, ph), (0, pw), (0, 0)))
         data.detection_map = np.pad(data.detection_map, ((0, ph), (0, pw)))
         data.param_dist_maps = [
@@ -214,9 +225,11 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     cache = None
     stats = None
     segments_run = 0
+    seg_times = []
     t_prep = time.perf_counter() - t_prep
     t_chain = time.perf_counter()
     while done < total_super:
+        t_seg = time.perf_counter()
         n = min(seg_super, total_super - done)
         seg_key = jax.random.fold_in(base_key, done)
         if n_restarts == 1:
@@ -241,6 +254,8 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                 state, cache, stats = jax.vmap(_one)(lane_keys, state)
             else:
                 state, cache, stats = jax.vmap(_one)(lane_keys, state, cache)
+        jax.block_until_ready(stats.final_energy)
+        seg_times.append(time.perf_counter() - t_seg)
         done += n
         t0 = max(float(t0 * alpha_super**n), t_target)
         segments_run += 1
@@ -285,10 +300,17 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     scores_k = np.asarray(papangelou(state, maps, setup.spec, comb))
     xy, marks = state_to_arrays(state)
     alive = np.asarray(state.alive)
+    seg_detail = ""
+    if seg_times:
+        # first-launch time is compile unless the executable was cached
+        seg_detail = (
+            f" (first={seg_times[0]:.1f}s "
+            f"median={float(np.median(seg_times)):.1f}s x{len(seg_times)})"
+        )
     logging.info(
         f"scene {data.name}: exact chain {total_super} supersteps x ~{mps} "
         f"cells (K={cap}, {n_dev} device(s)) -> {len(xy)} detections "
-        f"[prep={t_prep:.1f}s segments={t_chain:.1f}s "
+        f"[prep={t_prep:.1f}s segments={t_chain:.1f}s{seg_detail} "
         f"papangelou={time.perf_counter() - t_score:.1f}s]"
     )
     return SceneResult(
