@@ -183,6 +183,11 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     alpha_super = float(np.power(alpha, ms_tile))
     t_target = params.resolved_t_target()
     seg_super = max(1, segment_size // ms_tile)
+    # round the budget up to whole segments: a shorter remainder segment
+    # would compile a SECOND chain program per (shape, K) signature
+    # (~350 s host compile each); the extra supersteps anneal at the
+    # (clamped) floor temperature — pure extra descent moves
+    total_super = -(-total_super // seg_super) * seg_super
 
     n_restarts = max(1, int(restarts))
     if n_restarts > 1 and mesh is not None and n_dev > 1:
