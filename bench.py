@@ -292,14 +292,34 @@ def main():
     )
 
     enable_persistent_compilation_cache()
-    wait_for_device()
+    if os.environ.get("MPP_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["MPP_PLATFORM"])
+    elif not wait_for_device():
+        # multi-hour axon outages observed: a dead worker makes any jax init
+        # in this process hang forever. Fall back to a clearly-labelled CPU
+        # measurement rather than producing no JSON line at all.
+        print("# device never came back; re-exec on CPU backend",
+              file=sys.stderr, flush=True)
+        env = dict(os.environ, MPP_PLATFORM="cpu")
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], env)
     det, dists = build_tile()
+    on_cpu = os.environ.get("MPP_PLATFORM") == "cpu"
     try:
-        runs = [bench_jax(det, dists) for _ in range(3)]
+        # CPU fallback shrinks each stage so the JSON line still lands in
+        # minutes on the 1-core host (the full scene bench alone would cost
+        # ~350 s of compile + a long chain there); throughput units stay
+        # per-second so the numbers remain comparable, just noisier
+        jax_kw = dict(n_steps=600, batch=4) if on_cpu else {}
+        runs = [bench_jax(det, dists, **jax_kw) for _ in range(3)]
         moves_per_sec = float(np.mean([r[0] for r in runs]))
         moves_spread = float(np.std([r[0] for r in runs]))
-        cnn_tps = bench_cnn_tiles()
-        scene_s, scene_moves, scene_dets = bench_scene_e2e()
+        cnn_tps = bench_cnn_tiles(**(dict(batch=2, n_reps=2) if on_cpu else {}))
+        scene_s, scene_moves, scene_dets = bench_scene_e2e(
+            **(dict(h=256, w=256, n_obj=40) if on_cpu else {})
+        )
     except Exception as exc:
         # a mid-bench worker fault kills this process's client for good;
         # re-exec once the device answers a probe again. Only device/runtime
@@ -330,6 +350,7 @@ def main():
         # itself cannot run in this image — no shapely)
         "vs_baseline": round(moves_per_sec / base_moves_per_sec, 2),
         "extra": {
+            "platform": os.environ.get("MPP_PLATFORM", "tpu"),
             "value_spread_3runs": round(moves_spread, 1),
             "cnn_tiles_per_sec_256px": round(cnn_tps, 2),
             "scene_e2e_seconds_768px": round(scene_s, 2),

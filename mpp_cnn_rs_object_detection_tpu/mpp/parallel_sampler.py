@@ -644,7 +644,7 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "n_supersteps", "alpha_t", "t0", "t_target"),
+    static_argnames=("spec", "n_supersteps", "alpha_t", "t_target"),
 )
 def run_parallel_chain(key, init_state: PointsState, maps: EnergyMaps,
                        spec: EnergySpec, comb: EnergyCombiner, kd: KernelData,

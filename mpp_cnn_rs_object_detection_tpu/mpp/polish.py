@@ -56,8 +56,10 @@ def polish_state(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
              jnp.clip(xy[:, 1], 0.0, w - 1.0)], axis=-1
         )
         # cyclic marks wrap; linear marks clip off the degenerate edges
-        # (size 0 / ratio 0 collapse the rectangle)
-        z = jnp.where(cyc[None, :], jnp.mod(z, 1.0), jnp.clip(z, 0.02, 1.0))
+        # (size 0 / ratio 0 collapse the rectangle). The floor must sit
+        # BELOW any mapping's bin-0 center (1/(2C) = 0.0156 at C=32) so
+        # legitimate smallest-bin marks are not perturbed by projection.
+        z = jnp.where(cyc[None, :], jnp.mod(z, 1.0), jnp.clip(z, 0.004, 1.0))
         return xy, z
 
     def energy(xy, z):
@@ -70,13 +72,18 @@ def polish_state(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
 
     xy0 = state.xy.astype(jnp.float32)
     z0 = (state.marks - vmin[None, :]) / rng_m[None, :]
-    xy0, z0 = project(xy0, z0)
+    # u0 and the initial best are the RAW chain state — the "never worsens
+    # U" contract is against what the chain actually produced, not a
+    # projected copy; projection applies from the first descent step on
     u0 = energy(xy0, z0)
 
-    b1, b2, eps = 0.9, 0.999, 1e-8
+    import optax
 
-    def step(carry, i):
-        xy, z, m_xy, v_xy, m_z, v_z, best = carry
+    tx_xy = optax.adam(lr_xy)
+    tx_z = optax.adam(lr_marks)
+
+    def step(carry, _):
+        xy, z, opt_xy, opt_z, best = carry
         best_u, best_xy, best_z = best
         u, (g_xy, g_z) = grad_fn(xy, z)
         # u is the energy AT the incoming iterate — record that pairing
@@ -91,25 +98,15 @@ def polish_state(state: PointsState, maps: EnergyMaps, spec: EnergySpec,
         # emit NaN cotangents; drop those components rather than poison Adam
         g_xy = jnp.where(jnp.isfinite(g_xy), g_xy, 0.0)
         g_z = jnp.where(jnp.isfinite(g_z), g_z, 0.0)
-        t = i + 1
-        m_xy = b1 * m_xy + (1 - b1) * g_xy
-        v_xy = b2 * v_xy + (1 - b2) * g_xy**2
-        m_z = b1 * m_z + (1 - b1) * g_z
-        v_z = b2 * v_z + (1 - b2) * g_z**2
-        mh = lambda m_: m_ / (1 - b1**t)
-        vh = lambda v_: v_ / (1 - b2**t)
-        xy = xy - lr_xy * mh(m_xy) / (jnp.sqrt(vh(v_xy)) + eps)
-        z = z - lr_marks * mh(m_z) / (jnp.sqrt(vh(v_z)) + eps)
-        xy, z = project(xy, z)
-        return (xy, z, m_xy, v_xy, m_z, v_z, best), u
+        up_xy, opt_xy = tx_xy.update(g_xy, opt_xy)
+        up_z, opt_z = tx_z.update(g_z, opt_z)
+        xy, z = project(optax.apply_updates(xy, up_xy),
+                        optax.apply_updates(z, up_z))
+        return (xy, z, opt_xy, opt_z, best), u
 
-    zeros = lambda x: jnp.zeros_like(x)
-    init = (
-        xy0, z0, zeros(xy0), zeros(xy0), zeros(z0), zeros(z0),
-        (u0, xy0, z0),
-    )
+    init = (xy0, z0, tx_xy.init(xy0), tx_z.init(z0), (u0, xy0, z0))
     (xy_f, z_f, *_, best), _ = jax.lax.scan(
-        step, init, jnp.arange(n_steps)
+        step, init, None, length=n_steps
     )
     best_u, best_xy, best_z = best
     # the final iterate is itself a candidate

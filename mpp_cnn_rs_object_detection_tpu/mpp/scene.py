@@ -284,13 +284,25 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     if n_restarts > 1 and state.xy.ndim == 3:
         if stats is not None:
             u_fin = np.asarray(stats.final_energy).reshape(-1)
-            best = int(np.argmin(u_fin))
-            logging.info(
-                f"scene {data.name}: best-of-{n_restarts} restarts — "
-                f"energies {np.round(u_fin, 2).tolist()} -> lane {best}"
-            )
         else:
-            best = 0  # resumed past the end: all lanes checkpoint-identical
+            # no segment ran this process (resume landed at the end):
+            # lanes diverged before the checkpoint, so recompute each
+            # lane's energy rather than picking one arbitrarily
+            from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import (
+                build_cache,
+                energy_from_cache,
+            )
+
+            def _lane_u(st):
+                ca = build_cache(st, maps, setup.spec)
+                return energy_from_cache(st, maps, setup.spec, comb, ca)
+
+            u_fin = np.asarray(jax.vmap(_lane_u)(state)).reshape(-1)
+        best = int(np.argmin(u_fin))
+        logging.info(
+            f"scene {data.name}: best-of-{n_restarts} restarts — "
+            f"energies {np.round(u_fin, 2).tolist()} -> lane {best}"
+        )
         state = jax.tree_util.tree_map(lambda x: x[best], state)
     if polish_steps > 0:
         from mpp_cnn_rs_object_detection_tpu.mpp.polish import polish_state

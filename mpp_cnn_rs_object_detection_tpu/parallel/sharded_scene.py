@@ -78,7 +78,7 @@ def _scalars_only_kd(kd: KernelData) -> KernelData:
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "n_supersteps", "alpha_t", "t0", "t_target",
+    static_argnames=("spec", "n_supersteps", "alpha_t", "t_target",
                      "mesh", "hw"),
 )
 def _sharded_chain(key, init_state: PointsState, cache0: EnergyCache,
@@ -146,7 +146,7 @@ def _sharded_chain(key, init_state: PointsState, cache0: EnergyCache,
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "n_supersteps", "alpha_t", "t0", "t_target"),
+    static_argnames=("spec", "n_supersteps", "alpha_t", "t_target"),
 )
 def _local_chain(key, init_state, cache0, u0, maps, kd, spec, comb,
                  n_supersteps, t0, alpha_t, t_target):
