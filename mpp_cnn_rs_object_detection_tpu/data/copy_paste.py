@@ -1,0 +1,170 @@
+"""Copy-paste augmentation for patch datasets.
+
+Pastes real GT object crops (harvested from the train split's annotations)
+into training patches at fresh positions/orientations, appending matching
+annotations. This multiplies the effective object diversity of very small
+train splits — the measured recall ceiling of the 3-image DOTA sample
+(BASELINE.md round-2 gap decomposition). A capability beyond the reference
+(which has no equivalent; its patch pipeline is ``data/patch_making.py``).
+
+All geometry lives in the ``rect_mask`` frame (``label_processing.py``):
+an object is (center=(y, x), a=short, b=long, angle), and its pixels are
+``|R(angle)^T (p - c)| <= (a/2, b/2)``. Pasted annotations therefore agree
+exactly with how the label processors paint targets.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import cv2
+import numpy as np
+
+from mpp_cnn_rs_object_detection_tpu.data.label_processing import rect_mask
+
+
+def _abw_poly(center: np.ndarray, a: float, b: float, angle: float
+              ) -> np.ndarray:
+    """Corners (4, 2) in (y, x) of the rect_mask-frame rectangle."""
+    cos, sin = np.cos(angle), np.sin(angle)
+    rot = np.array([[cos, -sin], [sin, cos]])  # u,v -> dy,dx
+    half = np.array(
+        [[-a / 2, -b / 2], [-a / 2, b / 2], [a / 2, b / 2], [a / 2, -b / 2]]
+    )
+    return np.asarray(center, np.float64)[None, :] + half @ rot.T
+
+
+def _quad_intersects(p: np.ndarray, q: np.ndarray) -> bool:
+    """Convex-quad overlap test via separating axes (host-side, exact)."""
+    for poly in (p, q):
+        edges = np.roll(poly, -1, axis=0) - poly
+        normals = np.stack([-edges[:, 1], edges[:, 0]], axis=-1)
+        for n in normals:
+            a0, a1 = (p @ n).min(), (p @ n).max()
+            b0, b1 = (q @ n).min(), (q @ n).max()
+            if a1 < b0 or b1 < a0:
+                return False
+    return True
+
+
+@dataclass
+class PasteObject:
+    crop: np.ndarray      # (S, S, 3) float image chip centred on the object
+    a: float              # short side (px)
+    b: float              # long side (px)
+    angle: float          # rect_mask-frame angle in the crop
+    category: int
+
+
+def build_paste_bank(image_paths: Sequence[str],
+                     annotation_paths: Sequence[str],
+                     margin: float = 1.8,
+                     max_side: float = 64.0) -> List[PasteObject]:
+    """Harvest every non-difficult GT object as a square crop whose side
+    covers the object under any rotation (``margin * b``)."""
+    from mpp_cnn_rs_object_detection_tpu.data.dataset import load_image
+
+    bank: List[PasteObject] = []
+    for img_path, ann_path in zip(image_paths, annotation_paths):
+        image = load_image(img_path)
+        with open(ann_path, "rb") as f:
+            labels = pickle.load(f)
+        centers = np.asarray(labels["centers"], np.float64).reshape(-1, 2)
+        params = np.asarray(labels["parameters"], np.float64).reshape(-1, 3)
+        cats = np.asarray(labels["categories"]).reshape(-1)
+        diff = np.asarray(labels["difficult"]).reshape(-1)
+        h, w = image.shape[:2]
+        for c, (a, b, angle), cat, d in zip(centers, params, cats, diff):
+            if d or b <= 0 or b > max_side:
+                continue
+            s = int(np.ceil(margin * b))
+            s += s % 2  # even side: integer half-extent
+            y, x = int(round(c[0])), int(round(c[1]))
+            if y - s // 2 < 0 or x - s // 2 < 0 or y + s // 2 > h \
+                    or x + s // 2 > w:
+                continue
+            crop = image[y - s // 2: y + s // 2, x - s // 2: x + s // 2]
+            bank.append(PasteObject(crop=np.ascontiguousarray(crop, np.float32),
+                                    a=float(a), b=float(b),
+                                    angle=float(angle), category=int(cat)))
+    return bank
+
+
+def _rotate_crop(crop: np.ndarray, delta: float, scale: float) -> np.ndarray:
+    """Rotate the (y, x)-frame content by ``delta`` and resize by ``scale``
+    about the crop centre. In rect_mask's frame a content rotation by +delta
+    (object at angle t ends up at t+delta) corresponds to
+    ``cv2.getRotationMatrix2D(angle=+degrees(delta))`` — pinned empirically by
+    ``tests/test_copy_paste.py::test_pasted_pixels_match_annotation``."""
+    s = crop.shape[0]
+    m = cv2.getRotationMatrix2D((s / 2 - 0.5, s / 2 - 0.5),
+                                np.degrees(delta), scale)
+    return cv2.warpAffine(crop, m, (s, s), flags=cv2.INTER_LINEAR,
+                          borderMode=cv2.BORDER_REFLECT)
+
+
+def paste_objects(patch: np.ndarray, centers: np.ndarray, params: np.ndarray,
+                  cats: np.ndarray, diff: np.ndarray,
+                  bank: Sequence[PasteObject], rng: np.random.Generator,
+                  n_paste: int, scale_range=(0.9, 1.15), feather: float = 1.5,
+                  max_tries: int = 12):
+    """Paste up to ``n_paste`` bank objects into ``patch`` at fresh,
+    non-overlapping poses; returns the updated (patch, centers, params,
+    cats, diff). Labels keep the dataset pickle conventions."""
+    if len(bank) == 0 or n_paste <= 0:
+        return patch, centers, params, cats, diff
+    h, w = patch.shape[:2]
+    patch = patch.copy()
+    centers = np.asarray(centers, np.float64).reshape(-1, 2)
+    params = np.asarray(params, np.float64).reshape(-1, 3)
+    cats = np.asarray(cats, np.int64).reshape(-1)
+    diff = np.asarray(diff, bool).reshape(-1)
+    # occupied polys: existing GT slightly inflated so pastes keep a gap
+    occupied = [
+        _abw_poly(c, 1.25 * a, 1.25 * b, t)
+        for c, (a, b, t) in zip(centers, params)
+    ]
+    new_c, new_p, new_k = [], [], []
+    for idx in rng.choice(len(bank), size=n_paste):
+        obj = bank[int(idx)]
+        s = obj.crop.shape[0]
+        if s >= min(h, w):
+            continue
+        scale = float(rng.uniform(*scale_range))
+        delta = float(rng.uniform(0.0, np.pi))
+        new_angle = float(np.mod(obj.angle + delta, np.pi))
+        a, b = obj.a * scale, obj.b * scale
+        for _ in range(max_tries):
+            cy = float(rng.uniform(s / 2, h - s / 2))
+            cx = float(rng.uniform(s / 2, w - s / 2))
+            poly = _abw_poly((cy, cx), 1.25 * a, 1.25 * b, new_angle)
+            if any(_quad_intersects(poly, q) for q in occupied):
+                continue
+            chip = _rotate_crop(obj.crop, delta, scale)
+            y0, x0 = int(round(cy - s / 2)), int(round(cx - s / 2))
+            ccy, ccx = cy - y0, cx - x0
+            # feathered alpha: rectangle mask dilated then blurred
+            alpha = rect_mask((s, s), (ccy, ccx), a + 2 * feather,
+                              b + 2 * feather, new_angle).astype(np.float32)
+            k = max(3, 2 * int(feather) + 1)
+            alpha = cv2.GaussianBlur(alpha, (k, k), feather)
+            region = patch[y0:y0 + s, x0:x0 + s]
+            patch[y0:y0 + s, x0:x0 + s] = (
+                alpha[..., None] * chip[:region.shape[0], :region.shape[1]]
+                + (1.0 - alpha[..., None]) * region
+            )
+            occupied.append(poly)
+            new_c.append((cy, cx))
+            new_p.append((a, b, new_angle))
+            new_k.append(obj.category)
+            break
+    if new_c:
+        centers = np.concatenate([centers, np.asarray(new_c)], axis=0) \
+            if len(centers) else np.asarray(new_c)
+        params = np.concatenate([params, np.asarray(new_p)], axis=0) \
+            if len(params) else np.asarray(new_p)
+        cats = np.concatenate([cats, np.asarray(new_k, np.int64)])
+        diff = np.concatenate([diff, np.zeros(len(new_k), bool)])
+    return patch, centers, params, cats, diff

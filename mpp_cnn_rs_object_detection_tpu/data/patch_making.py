@@ -46,6 +46,15 @@ def make_patch_dataset(new_dataset: str, source_dataset: str, config: Dict,
     patch_size = pm["patch_size"]
     sigma = pm.get("obj_sampler_sigma") or 0
 
+    paste_bank, copy_paste = None, pm.get("copy_paste")
+    if copy_paste:
+        from mpp_cnn_rs_object_detection_tpu.data.copy_paste import (
+            build_paste_bank,
+        )
+
+        src = fetch_data_paths(source_dataset, "train")
+        paste_bank = build_paste_bank(src["images"], src["annotations"])
+
     for subset in (["train", "val"] if make_val else ["train"]):
         sampler = MixedSampler(
             n_patches=n_patches,
@@ -78,12 +87,16 @@ def make_patch_dataset(new_dataset: str, source_dataset: str, config: Dict,
             rng=rng,
             multiprocess=multiprocess,
             clear=True,
+            # augmentation applies to the train patches only
+            paste_bank=paste_bank if subset == "train" else None,
+            copy_paste=copy_paste if subset == "train" else None,
         )
 
 
 def _make_patches(source_dataset: str, subset: str, new_dataset: str,
                   sampler: PatchSampler, n_patches: int, patch_size: int,
-                  rng: np.random.Generator, multiprocess=True, clear=False):
+                  rng: np.random.Generator, multiprocess=True, clear=False,
+                  paste_bank=None, copy_paste=None):
     paths = fetch_data_paths(source_dataset, subset)
     sampler.initialise(paths["images"], paths["annotations"], paths["metadata"])
 
@@ -104,7 +117,8 @@ def _make_patches(source_dataset: str, subset: str, new_dataset: str,
 
     fun = partial(
         _make_one_patch, sampler=sampler, patch_size=patch_size,
-        data_dest=new_dataset_path,
+        data_dest=new_dataset_path, paste_bank=paste_bank,
+        copy_paste=copy_paste, seed=int(rng.integers(2**31)),
     )
     it = list(
         zip(
@@ -125,9 +139,11 @@ def _make_patches(source_dataset: str, subset: str, new_dataset: str,
 
 
 def _make_one_patch(i, n_local_patches, patch_path, label_path, meta_path, sampler,
-                    patch_size, data_dest):
+                    patch_size, data_dest, paste_bank=None, copy_paste=None,
+                    seed=0):
     if n_local_patches == 0:
         return
+    paste_rng = np.random.default_rng((seed, i))
 
     image = load_image(patch_path)
     image_id = check_data_match([patch_path, label_path, meta_path])
@@ -170,6 +186,23 @@ def _make_one_patch(i, n_local_patches, patch_path, label_path, meta_path, sampl
             p_params = np.stack(p_params, axis=0)
             p_cats = np.array(p_cats)
             p_diff = np.array(p_diff)
+
+        if paste_bank and copy_paste and paste_rng.random() < float(
+            copy_paste.get("p", 1.0)
+        ):
+            from mpp_cnn_rs_object_detection_tpu.data.copy_paste import (
+                paste_objects,
+            )
+
+            n_lo, n_hi = copy_paste.get("n_range", [1, 4])
+            patch, p_centers, p_params, p_cats, p_diff = paste_objects(
+                patch, p_centers.reshape(-1, 2), p_params.reshape(-1, 3),
+                p_cats, p_diff, paste_bank, paste_rng,
+                n_paste=int(paste_rng.integers(n_lo, n_hi + 1)),
+            )
+            if len(p_centers) == 0:  # keep the empty-annotation convention
+                p_centers, p_params = np.array([]), np.array([])
+                p_cats, p_diff = np.array([]), np.array([])
 
         patch_name = f"{image_id:04}_{k:04}"
         Image.fromarray((np.clip(patch, 0, 1) * 255).astype(np.uint8)).save(
