@@ -72,11 +72,21 @@ def build_patch_stack(dataset: str, subset: str, n_patches: int,
                       patch_size: int, rng: np.random.Generator,
                       unf_weight: float = 0.33, obj_weight: float = 0.66,
                       sigma: float = 10.0, max_objects: int = 128,
+                      copy_paste: dict = None,
                       ) -> PatchStack:
     """Sample + extract ``n_patches`` patches into arrays (the in-memory
     analog of ``make_patch_dataset``; same samplers, same label
-    reassignment as ``patch_making._make_one_patch``)."""
+    reassignment as ``patch_making._make_one_patch``). ``copy_paste``
+    applies ``data/copy_paste.py`` to each extracted patch (train only —
+    pass None for val stacks)."""
     paths = fetch_data_paths(dataset, subset)
+    paste_bank = None
+    if copy_paste:
+        from mpp_cnn_rs_object_detection_tpu.data.copy_paste import (
+            build_paste_bank,
+        )
+
+        paste_bank = build_paste_bank(paths["images"], paths["annotations"])
     sampler = MixedSampler(
         n_patches=n_patches,
         samplers=[
@@ -129,12 +139,29 @@ def build_patch_stack(dataset: str, subset: str, n_patches: int,
             if len(centers):
                 rel = centers - anchor + half
                 keep = np.all((rel >= 0) & (rel < patch_size), axis=1)
-                idx = np.where(keep)[0][:max_objects]
-                overflow += int(keep.sum()) - len(idx)
-                m = len(idx)
-                cen[k, :m] = rel[idx]
-                par[k, :m] = params[idx]
-                val[k, :m] = True
+                idx = np.where(keep)[0]
+                p_cen, p_par = rel[idx], params[idx]
+            else:
+                p_cen = np.zeros((0, 2), np.float64)
+                p_par = np.zeros((0, 3), np.float64)
+            if paste_bank and rng.random() < float(copy_paste.get("p", 1.0)):
+                from mpp_cnn_rs_object_detection_tpu.data.copy_paste import (
+                    paste_objects,
+                )
+
+                n_lo, n_hi = copy_paste.get("n_range", [1, 4])
+                pasted, p_cen, p_par, _, _ = paste_objects(
+                    imgs[k].astype(np.float32) / 255.0, p_cen, p_par,
+                    np.zeros(len(p_cen), np.int64),
+                    np.zeros(len(p_cen), bool), paste_bank, rng,
+                    n_paste=int(rng.integers(n_lo, n_hi + 1)),
+                )
+                imgs[k] = (np.clip(pasted, 0, 1) * 255).astype(np.uint8)
+            m = min(len(p_cen), max_objects)
+            overflow += len(p_cen) - m
+            cen[k, :m] = p_cen[:m]
+            par[k, :m] = p_par[:m]
+            val[k, :m] = True
             k += 1
     if overflow:
         import logging

@@ -122,7 +122,8 @@ class PatchBasedTrainer:
             rng=self.rng,
         )
         stack = build_patch_stack(
-            self.dataset, "train", n_patches=pm["n_patches"], **common
+            self.dataset, "train", n_patches=pm["n_patches"],
+            copy_paste=pm.get("copy_paste"), **common
         )
         self._train_stack_dev = tuple(
             jnp.asarray(x)

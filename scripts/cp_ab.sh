@@ -1,12 +1,15 @@
 #!/bin/bash
 # Copy-paste augmentation A/B on the real DOTA_gsd50 sample (CPU backend):
 # pos_cpA (off) vs pos_cpB (on), same budget/seeds, compared via posnet HBB
-# infereval on val. Waits for the already-running arm-A training.
+# infereval on val. Configs: 64px patches, 512/epoch, 10 epochs, regen every
+# 4 epochs (see /tmp/cp_ab/pos_cp{A,B}.json; identical except copy_paste).
 set -x
 cd /root/repo
 export MPP_PLATFORM=cpu
 
-while ! grep -q "^rc=" /tmp/cp_ab/trainA.log 2>/dev/null; do sleep 60; done
+python main.py -p train -m posnet -c /tmp/cp_ab/pos_cpA.json -o \
+  > /tmp/cp_ab/trainA.log 2>&1
+echo "rc=$?" >> /tmp/cp_ab/trainA.log
 
 python main.py -p train -m posnet -c /tmp/cp_ab/pos_cpB.json -o \
   > /tmp/cp_ab/trainB.log 2>&1

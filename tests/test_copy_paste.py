@@ -163,3 +163,54 @@ def test_make_patch_dataset_with_copy_paste(tmp_path, monkeypatch):
             n_objs.append(len(pickle.load(f)["centers"]))
     # pasting must have added objects beyond the single source GT per patch
     assert sum(n_objs) > len(n_objs)
+
+
+def test_build_patch_stack_with_copy_paste(tmp_path, monkeypatch):
+    """Device-pipeline path: stacks gain pasted objects and stay in capacity."""
+    import json
+    import os
+    import pickle
+
+    from PIL import Image
+
+    from mpp_cnn_rs_object_detection_tpu.data.device_pipeline import (
+        build_patch_stack,
+    )
+
+    data_root = tmp_path / "datasets"
+    src = data_root / "src" / "train"
+    for d in ("images", "annotations", "metadata"):
+        os.makedirs(src / d)
+    with open(tmp_path / "paths_config.json", "w") as f:
+        json.dump({"dataset_path": [str(data_root)],
+                   "model_path": [str(tmp_path)]}, f)
+    monkeypatch.chdir(tmp_path)
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.2, 0.4, (96, 96, 3)).astype(np.float32)
+    img[rect_mask((96, 96), (40.0, 40.0), 8.0, 16.0, 0.5)] = 0.9
+    Image.fromarray((img * 255).astype(np.uint8)).save(
+        src / "images" / "0000.png"
+    )
+    with open(src / "annotations" / "0000.pkl", "wb") as f:
+        pickle.dump(
+            {"centers": np.array([[40.0, 40.0]]),
+             "parameters": np.array([[8.0, 16.0, 0.5]]),
+             "categories": np.array([0]),
+             "difficult": np.array([False])}, f,
+        )
+    with open(src / "metadata" / "0000.json", "w") as f:
+        json.dump({"shape": [96, 96, 3], "n_objects": 1}, f)
+
+    common = dict(patch_size=48, rng=np.random.default_rng(1), max_objects=8)
+    plain = build_patch_stack("src", "train", n_patches=10, **common)
+    common["rng"] = np.random.default_rng(1)
+    pasted = build_patch_stack(
+        "src", "train", n_patches=10,
+        copy_paste={"p": 1.0, "n_range": [2, 3]}, **common
+    )
+    assert pasted.valid.sum() > plain.valid.sum()
+    assert pasted.valid.shape == (10, 8)
+    # pasted params stay in the source object's scale range
+    pv = pasted.params[pasted.valid]
+    assert np.all(pv[:, 0] > 0) and np.all(pv[:, 1] <= 16.0 * 1.15 + 1e-6)
