@@ -55,7 +55,7 @@ class PasteObject:
     a: float              # short side (px)
     b: float              # long side (px)
     angle: float          # rect_mask-frame angle in the crop
-    category: int
+    category: object      # opaque label (string in DOTA pickles, int in synth)
 
 
 def build_paste_bank(image_paths: Sequence[str],
@@ -88,7 +88,7 @@ def build_paste_bank(image_paths: Sequence[str],
             crop = image[y - s // 2: y + s // 2, x - s // 2: x + s // 2]
             bank.append(PasteObject(crop=np.ascontiguousarray(crop, np.float32),
                                     a=float(a), b=float(b),
-                                    angle=float(angle), category=int(cat)))
+                                    angle=float(angle), category=cat))
     return bank
 
 
@@ -119,7 +119,7 @@ def paste_objects(patch: np.ndarray, centers: np.ndarray, params: np.ndarray,
     patch = patch.copy()
     centers = np.asarray(centers, np.float64).reshape(-1, 2)
     params = np.asarray(params, np.float64).reshape(-1, 3)
-    cats = np.asarray(cats, np.int64).reshape(-1)
+    cats = np.asarray(cats).reshape(-1)
     diff = np.asarray(diff, bool).reshape(-1)
     # occupied polys: existing GT slightly inflated so pastes keep a gap
     occupied = [
@@ -165,6 +165,7 @@ def paste_objects(patch: np.ndarray, centers: np.ndarray, params: np.ndarray,
             if len(centers) else np.asarray(new_c)
         params = np.concatenate([params, np.asarray(new_p)], axis=0) \
             if len(params) else np.asarray(new_p)
-        cats = np.concatenate([cats, np.asarray(new_k, np.int64)])
+        cats = (np.concatenate([cats, np.asarray(new_k)])
+                if len(cats) else np.asarray(new_k))
         diff = np.concatenate([diff, np.zeros(len(new_k), bool)])
     return patch, centers, params, cats, diff

@@ -113,6 +113,38 @@ def test_paste_avoids_existing_objects():
             assert not _quad_intersects(polys[i], polys[j])
 
 
+def test_string_categories_roundtrip(tmp_path):
+    """Real DOTA pickles store categories as strings ('small-vehicle');
+    the bank and pasted annotations must keep them opaque (regression:
+    int(cat) crashed the flagship copy-paste run on real data)."""
+    import pickle
+
+    from PIL import Image
+
+    a, b = 8.0, 18.0
+    img = _bright_rect_image(96, 96, (48.0, 48.0), a, b, 0.4)
+    ipath, apath = tmp_path / "0000.png", tmp_path / "0000.pkl"
+    Image.fromarray((img * 255).astype(np.uint8)).save(ipath)
+    with open(apath, "wb") as f:
+        pickle.dump(
+            {"centers": np.array([[48.0, 48.0]]),
+             "parameters": np.array([[a, b, 0.4]]),
+             "categories": np.array(["small-vehicle"]),
+             "difficult": np.array([False])}, f,
+        )
+    bank = build_paste_bank([str(ipath)], [str(apath)])
+    assert len(bank) == 1 and bank[0].category == "small-vehicle"
+    out, c2, p2, k2, d2 = paste_objects(
+        np.zeros((128, 128, 3), np.float32),
+        np.array([[20.0, 20.0]]), np.array([[6.0, 12.0, 0.1]]),
+        np.array(["large-vehicle"]), np.array([False]),
+        bank, np.random.default_rng(0), n_paste=2,
+    )
+    assert k2[0] == "large-vehicle"
+    assert all(k == "small-vehicle" for k in k2[1:])
+    assert len(k2) == len(c2) == len(p2) == len(d2)
+
+
 def test_make_patch_dataset_with_copy_paste(tmp_path, monkeypatch):
     """Config-plumbed path: patches written with extra pasted annotations."""
     import json
