@@ -80,6 +80,32 @@ def pad_image_w_maps(data: ImageWMaps, target: int) -> ImageWMaps:
     return data
 
 
+def scene_shape_bucket(h0: int, w0: int, n_dev: int = 1):
+    """(target_h, target_w) map padding for the exact-scene chain's compile
+    cache. Small scenes (tests, crops) quantise at 2*CELL so their padding
+    stays proportionate. Real scenes use SQUARE power-of-two-times-256
+    buckets so a whole val split shares ONE (H, W, K) program signature —
+    each signature costs ~350 s of cold host compile vs ~2 s of chain
+    compute at flagship scale, so up to ~4x dead-area compute is the cheap
+    side of the trade (the pad region holds zero birth density). E.g. the
+    DOTA_gsd50 val scenes (469x753, 926x958, 915x925) all land on
+    (1024, 1024) instead of two signatures."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.parallel_sampler import CELL
+
+    quantum = 2 * CELL if (h0 <= 256 and w0 <= 256) else 256
+    mult = int(np.lcm(quantum, max(n_dev, 1)))
+    target_h = -(-max(h0, 2 * CELL * n_dev) // mult) * mult
+    target_w = -(-max(w0, 2 * CELL) // quantum) * quantum
+    if quantum == 256:
+        side = max(target_h, target_w)
+        pow2 = 256
+        while pow2 < side:
+            pow2 *= 2
+        side = -(-pow2 // mult) * mult  # keep mesh divisibility
+        target_h = target_w = side
+    return target_h, target_w
+
+
 @dataclass
 class SceneResult:
     centers: np.ndarray  # (N, 2)
@@ -127,12 +153,7 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     # detection density (births there are energetically rejected), and the
     # chain itself is ~2 s at flagship scale, so the extra dead-area
     # compute is noise next to one saved compile.
-    # small scenes (tests, crops) quantise at 2*CELL so their padding stays
-    # proportionate; real scenes use the coarse 256 quantum
-    quantum = 2 * CELL if (h0 <= 256 and w0 <= 256) else 256
-    mult = int(np.lcm(quantum, max(n_dev, 1)))
-    target_h = -(-max(h0, 2 * CELL * n_dev) // mult) * mult
-    target_w = -(-max(w0, 2 * CELL) // quantum) * quantum
+    target_h, target_w = scene_shape_bucket(h0, w0, n_dev)
     data = pad_image_w_maps(data, 1)  # normalise crop_data
     if data.shape[0] < target_h or data.shape[1] < target_w:
         ph = max(0, target_h - data.shape[0])
@@ -160,7 +181,11 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     # area keeps the (K, K) pair matrices small while leaving ~2x headroom
     # over observed per-tile populations; the init-growth term still wins
     # for dense small scenes.
-    n_areas = -(-h0 // 256) * -(-w0 // 256)
+    # slots scale with the PADDED area so every scene in a shape bucket also
+    # shares the capacity (and therefore the whole program signature); the
+    # pad region never births (zero density), so the extra slots only cost
+    # (K, K) width, not population
+    n_areas = -(-h // 256) * -(-w // 256)
     cap = max(capacity, 64 * n_areas, len(c0) * 3 // 2 + 64)
     cap = int(-(-cap // 64) * 64)
     c0, m0 = c0[:cap], m0[:cap]

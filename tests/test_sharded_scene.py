@@ -251,3 +251,21 @@ def test_run_exact_scene_restarts_best_of_n(caplog):
     )
     np.testing.assert_allclose(res.centers, res2.centers, atol=1e-5)
     np.testing.assert_allclose(res.scores, res2.scores, atol=1e-4)
+
+
+def test_scene_shape_bucket_signature_sharing():
+    """Real scenes land on SQUARE pow2*256 buckets (one compile signature
+    per val split); small scenes stay proportionate at the 2*CELL quantum."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.scene import scene_shape_bucket
+
+    # the DOTA_gsd50 val split: three sizes, ONE shared signature
+    assert {scene_shape_bucket(*hw) for hw in
+            [(469, 753), (926, 958), (915, 925)]} == {(1024, 1024)}
+    # small scenes (tests/crops) keep tight 2*CELL quanta, not pow2 squares
+    assert scene_shape_bucket(256, 192) == (256, 192)
+    assert scene_shape_bucket(200, 130) == (256, 192)
+    # mesh divisibility: every band must hold >= 2*CELL rows per device
+    th, tw = scene_shape_bucket(926, 958, n_dev=8)
+    assert th % 8 == 0 and (th, tw) == (1024, 1024)
+    th, _ = scene_shape_bucket(256, 192, n_dev=8)
+    assert th % 8 == 0 and th >= 2 * 32 * 8
