@@ -235,10 +235,15 @@ def bench_cnn_tiles(batch=8, size=256, n_reps=4):
     return batch * n_reps / dt
 
 
-def bench_scene_e2e(h=768, w=768, n_obj=120):
+def bench_scene_e2e(h=1024, w=1024, n_obj=200):
     """End-to-end scene throughput: synthetic maps -> naive init -> EXACT
     whole-scene annealed chain (the flagship inference unit) -> papangelou
-    scores. Returns (seconds_per_scene, equivalent_moves)."""
+    scores. Returns (seconds_per_scene, equivalent_moves).
+
+    1024x1024 is the flagship bucket: real scenes pad to square pow2*256
+    buckets (``scene.scene_shape_bucket``), so this measures — and, via the
+    persistent compile cache, shares — the exact program signature the
+    DOTA_gsd50 val scenes run."""
     from mpp_cnn_rs_object_detection_tpu.mpp import combinators as comb_lib
     from mpp_cnn_rs_object_detection_tpu.mpp.energy_setups import (
         NoCalibrationEnergySetup,
@@ -353,7 +358,7 @@ def main():
             "platform": os.environ.get("MPP_PLATFORM", "tpu"),
             "value_spread_3runs": round(moves_spread, 1),
             "cnn_tiles_per_sec_256px": round(cnn_tps, 2),
-            "scene_e2e_seconds_768px": round(scene_s, 2),
+            "scene_e2e_seconds_1024px": round(scene_s, 2),
             "scene_e2e_moves": int(scene_moves),
             "scene_e2e_detections": int(scene_dets),
             "baseline_seq_moves_per_sec": round(base_moves_per_sec, 1),
