@@ -40,7 +40,11 @@ from mpp_cnn_rs_object_detection_tpu.models.train_utils import (
     stack_batches,
     update_metrics,
 )
-from mpp_cnn_rs_object_detection_tpu.models.unet import DivClassifier, PosNet
+from mpp_cnn_rs_object_detection_tpu.models.unet import (
+    DivClassifier,
+    PosNet,
+    infer_pad_hw,
+)
 from mpp_cnn_rs_object_detection_tpu.models.losses import pointing_vector_loss
 from mpp_cnn_rs_object_detection_tpu.ops.divergence import (
     divergence_map_from_vector_field,
@@ -304,9 +308,9 @@ class PosNetModel(BaseModel, PatchBasedTrainer):
         h, w = image.shape[:2]
 
         def infer_chunk(img):
-            ph = (64 - img.shape[0] % 64) % 64
-            pw = (64 - img.shape[1] % 64) % 64
-            padded = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+            th, tw = infer_pad_hw(*img.shape[:2])
+            padded = np.pad(img, ((0, th - img.shape[0]),
+                                  (0, tw - img.shape[1]), (0, 0)))
             fwd = self._forward(padded.shape[:2])
             mask, vec = fwd(
                 self.state.params["net"], self.state.batch_stats, jnp.asarray(padded)

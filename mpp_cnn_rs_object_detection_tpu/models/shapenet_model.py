@@ -39,7 +39,7 @@ from mpp_cnn_rs_object_detection_tpu.models.train_utils import (
     stack_batches,
     update_metrics,
 )
-from mpp_cnn_rs_object_detection_tpu.models.unet import ShapeNet
+from mpp_cnn_rs_object_detection_tpu.models.unet import ShapeNet, infer_pad_hw
 from mpp_cnn_rs_object_detection_tpu.models.losses import pixel_ce_loss
 from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
     rect_to_poly_np,
@@ -264,9 +264,9 @@ class ShapeNetModel(BaseModel, PatchBasedTrainer):
         h, w = image.shape[:2]
 
         def infer_chunk(img):
-            ph = (64 - img.shape[0] % 64) % 64
-            pw = (64 - img.shape[1] % 64) % 64
-            padded = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+            th, tw = infer_pad_hw(*img.shape[:2])
+            padded = np.pad(img, ((0, th - img.shape[0]),
+                                  (0, tw - img.shape[1]), (0, 0)))
             fwd = self._forward(padded.shape[:2])
             outs = fwd(self.state.params, self.state.batch_stats, jnp.asarray(padded))
             return [np.asarray(o)[: img.shape[0], : img.shape[1]] for o in outs]

@@ -15,6 +15,25 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def infer_pad_hw(h: int, w: int) -> tuple:
+    """(target_h, target_w) padding for whole-image CNN inference.
+
+    Small inputs round to 64-multiples (2**depth alignment). Big scenes
+    (max side > 256) round to SQUARE power-of-two sides so a whole val
+    split shares one jitted forward program per model — each distinct
+    (H, W) costs a full U-Net compile on the 1-core host, and with square
+    pow2 buckets the CNN maps feed the exact-scene MPP at the very shape
+    its chain program is bucketed to (``mpp/scene.py:scene_shape_bucket``).
+    The pad is zero-filled bottom/right and cropped from the output, same
+    as the 64-multiple path."""
+    if max(h, w) <= 256:
+        return -(-h // 64) * 64, -(-w // 64) * 64
+    side = 256
+    while side < max(h, w):
+        side *= 2
+    return side, side
+
+
 def pad_before_infer(image: jnp.ndarray, depth: int):
     """Pad H, W (leading axes of an HWC image) to multiples of 2**depth.
 

@@ -184,3 +184,24 @@ def test_shapenet_device_pipeline_trains(workspace):
     assert os.path.exists(os.path.join(model.save_path, "model.msgpack"))
     log = json.load(open(os.path.join(model.save_path, "log.json")))
     assert len(log["train_loss"]) == 2 and np.isfinite(log["train_loss"][-1])
+
+
+def test_infer_on_image_big_scene_pow2_pad(workspace):
+    """Whole-image inference on a >256 scene pads to the square pow2 bucket
+    (shared compile signature across a val split) and returns the original
+    extent; the padded forward equals the tight-padded forward away from the
+    pad-influenced bottom/right margin."""
+    from mpp_cnn_rs_object_detection_tpu.models.posnet_model import PosNetModel
+    from mpp_cnn_rs_object_detection_tpu.models.unet import infer_pad_hw
+
+    assert infer_pad_hw(300, 290) == (512, 512)
+    model = PosNetModel(_pos_config(), load=True, train=False)
+    img = np.random.default_rng(5).random((300, 290, 3)).astype(np.float32)
+    mask, vec = model.infer_on_image(img)
+    assert mask.shape == (300, 290) and vec.shape == (300, 290, 2)
+    assert len(model._infer_fn_cache) == 1
+    assert (512, 512) in model._infer_fn_cache
+    # a same-bucket second scene reuses the jitted forward
+    img2 = np.random.default_rng(6).random((400, 330, 3)).astype(np.float32)
+    model.infer_on_image(img2)
+    assert len(model._infer_fn_cache) == 1
