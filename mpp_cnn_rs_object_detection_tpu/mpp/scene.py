@@ -355,10 +355,21 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
         f"[prep={t_prep:.1f}s segments={t_chain:.1f}s{seg_detail} "
         f"papangelou={time.perf_counter() - t_score:.1f}s]"
     )
+    centers_np = np.asarray(xy).reshape(-1, 2)
+    marks_np = np.asarray(marks).reshape(-1, 3)
+    scores_np = scores_k[alive].reshape(-1)
+    # with the square pow2 buckets the dead pad area can be large; births
+    # there are density-zero and translations into it are repelled by the
+    # position energy, but any straggler would be scored against zero maps —
+    # keep only detections whose center lies in the original scene extent
+    keep = (
+        (centers_np[:, 0] < h0) & (centers_np[:, 1] < w0)
+        & (centers_np >= 0).all(axis=1)
+    )
     return SceneResult(
-        centers=np.asarray(xy).reshape(-1, 2),
-        marks=np.asarray(marks).reshape(-1, 3),
-        scores=scores_k[alive].reshape(-1),
+        centers=centers_np[keep],
+        marks=marks_np[keep],
+        scores=scores_np[keep],
         n_tiles=n_dev,
         total_moves=total_super * mps,
     )
