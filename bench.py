@@ -47,6 +47,13 @@ def wait_for_device(max_wait_s: float = 5400.0) -> bool:
             pass
         if time.time() - t0 > max_wait_s:
             return False
+        # keep the yield request fresh while waiting (holders drop flags
+        # older than the staleness window)
+        from mpp_cnn_rs_object_detection_tpu.utils.config import (
+            touch_device_yield,
+        )
+
+        touch_device_yield()
         print(f"# device probe failed ({time.time() - t0:.0f}s); waiting",
               file=sys.stderr, flush=True)
         time.sleep(30.0)
@@ -293,7 +300,9 @@ def bench_scene_e2e(h=1024, w=1024, n_obj=200):
 
 def main():
     from mpp_cnn_rs_object_detection_tpu.utils.config import (
+        clear_device_yield,
         enable_persistent_compilation_cache,
+        request_device_yield,
     )
 
     enable_persistent_compilation_cache()
@@ -301,15 +310,22 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", os.environ["MPP_PLATFORM"])
-    elif not wait_for_device():
-        # multi-hour axon outages observed: a dead worker makes any jax init
-        # in this process hang forever. Fall back to a clearly-labelled CPU
-        # measurement rather than producing no JSON line at all.
-        print("# device never came back; re-exec on CPU backend",
-              file=sys.stderr, flush=True)
-        env = dict(os.environ, MPP_PLATFORM="cpu")
-        os.execve(sys.executable,
-                  [sys.executable, os.path.abspath(__file__)], env)
+    else:
+        # ask any long-running runbook stage (CNN train, scene anneal) to
+        # exit at its next checkpoint boundary: the axon chip is exclusive,
+        # and the bench must measure the real device, not the CPU fallback.
+        # resilient_run resumes the yielded stage once the flag clears.
+        request_device_yield()
+        if not wait_for_device():
+            # multi-hour axon outages observed: a dead worker makes any jax
+            # init in this process hang forever. Fall back to a clearly-
+            # labelled CPU measurement rather than producing no JSON line.
+            print("# device never came back; re-exec on CPU backend",
+                  file=sys.stderr, flush=True)
+            clear_device_yield()
+            env = dict(os.environ, MPP_PLATFORM="cpu")
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__)], env)
     det, dists = build_tile()
     on_cpu = os.environ.get("MPP_PLATFORM") == "cpu"
     try:
@@ -365,6 +381,7 @@ def main():
         },
     }
     print(json.dumps(result))
+    clear_device_yield()
 
 
 if __name__ == "__main__":

@@ -18,7 +18,10 @@ import numpy as np
 from mpp_cnn_rs_object_detection_tpu.data.augmentation import DataAugment
 from mpp_cnn_rs_object_detection_tpu.data.dataset import BatchLoader, ImageDataset
 from mpp_cnn_rs_object_detection_tpu.data.patch_making import make_patch_dataset
-from mpp_cnn_rs_object_detection_tpu.utils.config import get_dataset_base_path
+from mpp_cnn_rs_object_detection_tpu.utils.config import (
+    get_dataset_base_path,
+    maybe_yield_device,
+)
 
 
 class BaseModel(ABC):
@@ -180,6 +183,7 @@ class PatchBasedTrainer:
             )
             self.logger.update_train_val(epoch, train_metrics, val_metrics)
             save_checkpoint(self.save_path, self.state, epoch + 1)
+            maybe_yield_device(f"epoch {epoch} checkpoint")
             if epoch_hook is not None:
                 epoch_hook(epoch)
             if (

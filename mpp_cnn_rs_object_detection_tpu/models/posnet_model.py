@@ -54,6 +54,7 @@ from mpp_cnn_rs_object_detection_tpu.utils.config import (
     fetch_data_paths,
     get_dataset_base_path,
     get_inference_path,
+    maybe_yield_device,
     startup_config,
 )
 from mpp_cnn_rs_object_detection_tpu.utils.files import make_if_not_exist
@@ -250,6 +251,7 @@ class PosNetModel(BaseModel, PatchBasedTrainer):
             # rolling checkpoint every epoch: wall-clock timeouts on slow
             # hosts must not lose progress (reference: every 4 epochs)
             save_checkpoint(self.save_path, self.state, epoch + 1)
+            maybe_yield_device(f"epoch {epoch} checkpoint")
 
             if epoch % self.dataset_update_interval == 0 and epoch != 0:
                 if (

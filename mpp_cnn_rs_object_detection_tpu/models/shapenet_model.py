@@ -53,6 +53,7 @@ from mpp_cnn_rs_object_detection_tpu.ops.nms import nms_distance
 from mpp_cnn_rs_object_detection_tpu.utils.config import (
     fetch_data_paths,
     get_inference_path,
+    maybe_yield_device,
     startup_config,
 )
 from mpp_cnn_rs_object_detection_tpu.utils.files import make_if_not_exist
@@ -224,6 +225,7 @@ class ShapeNetModel(BaseModel, PatchBasedTrainer):
             # rolling checkpoint every epoch: wall-clock timeouts on slow
             # hosts must not lose progress (reference: every 4 epochs)
             save_checkpoint(self.save_path, self.state, epoch + 1)
+            maybe_yield_device(f"epoch {epoch} checkpoint")
             if epoch % self.dataset_update_interval == 0 and epoch != 0:
                 make_patch_dataset(
                     new_dataset=self.temp_dataset,

@@ -42,6 +42,7 @@ from mpp_cnn_rs_object_detection_tpu.ops.geometry import (
 from mpp_cnn_rs_object_detection_tpu.utils.config import (
     fetch_data_paths,
     get_inference_path,
+    maybe_yield_device,
     resolve_model_config_path,
     startup_config,
 )
@@ -303,6 +304,7 @@ class MPPModel(BaseModel):
             if os.path.exists(out_pkl) and not overwrite:
                 logging.info(f"{out_pkl} exists, skipping")
                 continue
+            maybe_yield_device(f"before image {patch_id}")
             t_stage = time.perf_counter()
             data = self._load_image(patch_id, subset)
             t_load = time.perf_counter() - t_stage

@@ -295,6 +295,7 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                 marks=np.asarray(state.marks), alive=np.asarray(state.alive),
                 done=done, t0=t0, seed=seed, fingerprint=fingerprint,
             )
+            maybe_yield_device(f"scene {data.name} segment {segments_run}")
         if (
             max_segments is not None
             and segments_run >= max_segments
@@ -658,6 +659,7 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                     fingerprint=fingerprint, s_xy=s_xy, s_marks=s_marks,
                     s_alive=s_alive, s_count=s_count,
                 )
+                maybe_yield_device(f"tile chunk segment {segments_run}")
             if (
                 max_segments is not None
                 and segments_run >= max_segments

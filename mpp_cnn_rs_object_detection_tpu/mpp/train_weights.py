@@ -44,6 +44,7 @@ from mpp_cnn_rs_object_detection_tpu.mpp.perturbations import (
     sample_perturbed_batch,
 )
 from mpp_cnn_rs_object_detection_tpu.mpp.state import PointsState, state_from_arrays
+from mpp_cnn_rs_object_detection_tpu.utils.config import maybe_yield_device
 
 NON_TRAINABLE = ("threshold", "raw_energy")
 
@@ -191,6 +192,7 @@ def train_ordering_criterion(crops: List[ImageWMaps], setup: EnergySetup,
     n_batches = max(1, len(crops) // batch_size)
     step_i = 0
     for epoch in range(n_epochs):
+        maybe_yield_device(f"weight-train epoch {epoch}")
         order = rng.permutation(len(crops))
         for b in range(n_batches):
             idx = order[b * batch_size : (b + 1) * batch_size]
@@ -300,6 +302,7 @@ def train_integral_criterion(crops: List[ImageWMaps], setup: EnergySetup,
     params = comb.params
     n_batches = max(1, len(crops) // batch_size)
     for epoch in range(n_epochs):
+        maybe_yield_device(f"weight-train epoch {epoch}")
         order = rng.permutation(len(crops))
         for b in range(n_batches):
             idx = order[b * batch_size : (b + 1) * batch_size]

@@ -227,3 +227,67 @@ def enable_persistent_compilation_cache(cache_dir: Optional[str] = None
     # cache everything that takes noticeable compile time
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# ------------------------------------------------------------------ device lease
+# The axon TPU plugin gives one process exclusive chip access: a second
+# client's first device op blocks until the holder exits. Long runbooks
+# (multi-hour CNN trains) would therefore starve the driver's end-of-round
+# ``bench.py`` into its CPU fallback. The yield protocol fixes that without
+# a daemon: a high-priority process touches the flag file, every long-running
+# stage polls it at its natural checkpoint boundary (epoch / scene segment /
+# image) and exits with rc 75 (EX_TEMPFAIL) after saving state, and
+# ``scripts/resilient_run.py`` resumes the stage once the flag clears.
+
+DEVICE_YIELD_FLAG = os.path.join(_REPO_ROOT, "workspace", ".device_yield")
+DEVICE_YIELD_RC = 75
+_YIELD_STALE_S = 45 * 60.0
+
+
+def request_device_yield() -> None:
+    """Ask current device holders to exit at their next safe boundary."""
+    make_if_not_exist(os.path.dirname(DEVICE_YIELD_FLAG))
+    with open(DEVICE_YIELD_FLAG, "w") as f:
+        f.write(f"pid={os.getpid()}\n")
+
+
+def touch_device_yield() -> None:
+    """Refresh the flag's mtime so holders don't treat it as stale."""
+    if os.path.exists(DEVICE_YIELD_FLAG):
+        os.utime(DEVICE_YIELD_FLAG, None)
+
+
+def clear_device_yield() -> None:
+    try:
+        os.remove(DEVICE_YIELD_FLAG)
+    except FileNotFoundError:
+        pass
+
+
+def device_yield_requested() -> bool:
+    """True iff a fresh yield flag exists (stale flags from a crashed
+    requester are removed so they can't wedge runbooks forever)."""
+    try:
+        age = __import__("time").time() - os.path.getmtime(DEVICE_YIELD_FLAG)
+        with open(DEVICE_YIELD_FLAG) as f:
+            content = f.read()
+    except OSError:
+        return False
+    if age > _YIELD_STALE_S:
+        logging.warning("removing stale device-yield flag (%.0f s old)", age)
+        clear_device_yield()
+        return False
+    # the requester itself must never yield to its own flag
+    return f"pid={os.getpid()}\n" not in content
+
+
+def maybe_yield_device(context: str) -> None:
+    """Exit rc 75 at a safe boundary if a yield was requested. Callers must
+    have just persisted whatever state resuming needs (checkpoint saved /
+    image results written)."""
+    if device_yield_requested():
+        logging.warning(
+            "device yield requested — exiting at %s (resume with -r / "
+            "skip-done-images picks up here)", context
+        )
+        raise SystemExit(DEVICE_YIELD_RC)

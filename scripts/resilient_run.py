@@ -19,8 +19,38 @@ import sys
 import time
 
 REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+from mpp_cnn_rs_object_detection_tpu.utils.config import (  # noqa: E402
+    DEVICE_YIELD_RC,
+    device_yield_requested,
+)
+
+
+def wait_while_yielded(poll_s: float = 30.0) -> None:
+    """Block while a fresh device-yield flag exists (a high-priority process
+    like the driver's bench asked holders to stay off the chip)."""
+    waited = False
+    while device_yield_requested():
+        if not waited:
+            print("[resilient_run] device-yield flag present; waiting",
+                  flush=True)
+            waited = True
+        time.sleep(poll_s)
+
+
+def yield_resume_argv(argv):
+    """After a yield exit the stage must RESUME, not restart: drop the
+    overwrite flag and add -r (train stages reload their rolling checkpoint;
+    infer stages skip completed images and resume scene checkpoints)."""
+    argv = [a for a in argv if a != "-o" and a != "--overwrite"]
+    if "-r" not in argv and "--resume" not in argv:
+        argv = argv + ["-r"]
+    return argv
 PROBE = (
-    "import jax, jax.numpy as jnp;"
+    "import os, jax, jax.numpy as jnp;"
+    "p = os.environ.get('MPP_PLATFORM');"
+    "p and jax.config.update('jax_platforms', p);"
     "x = jnp.ones((128, 128));"
     "print(jax.jit(lambda a: (a @ a).sum())(x))"
 )
@@ -57,7 +87,10 @@ def main(argv):
         argv = argv[1:]
     if argv and argv[0] == "--":
         argv = argv[1:]
-    for attempt in range(1, max_attempts + 1):
+    attempt = 0
+    while attempt < max_attempts:
+        attempt += 1
+        wait_while_yielded()
         if not wait_for_device():
             # a wait window expiring consumes an attempt but does NOT give
             # up: stages later in a runbook depend on this one's artifacts,
@@ -73,6 +106,14 @@ def main(argv):
         if r.returncode == 0:
             print("[resilient_run] success", flush=True)
             return 0
+        if r.returncode == DEVICE_YIELD_RC:
+            # voluntary yield at a checkpoint boundary: resume (never
+            # restart) once the flag clears; doesn't consume an attempt
+            print("[resilient_run] stage yielded the device; will resume",
+                  flush=True)
+            argv = yield_resume_argv(argv)
+            attempt -= 1
+            continue
         print(f"[resilient_run] exited {r.returncode}; retrying", flush=True)
         time.sleep(30.0)
     return 1
