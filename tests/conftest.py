@@ -33,3 +33,18 @@ def pytest_runtest_setup(item):
     if _last_module[0] is not None and module != _last_module[0]:
         jax.clear_caches()
     _last_module[0] = module
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _isolate_device_yield_flag(tmp_path, monkeypatch):
+    """Tests must never see (or raise) the real device-yield flag: a live
+    runbook's flag would SystemExit trainer tests mid-epoch, and test flags
+    must not preempt real runbook stages."""
+    from mpp_cnn_rs_object_detection_tpu.utils import config as _cfg
+
+    monkeypatch.setattr(
+        _cfg, "DEVICE_YIELD_FLAG", str(tmp_path / ".device_yield")
+    )
