@@ -10,4 +10,8 @@ if [ ! -d workspace/data/DOTA_gsd50 ]; then
   cp -r /root/reference/data_sample/DOTA_gsd50 workspace/data/
   echo "restored workspace/data/DOTA_gsd50 from the reference sample"
 fi
+# trained-model artifacts snapshotted into git (scripts/snapshot_artifacts.py)
+if [ -d artifacts/models_storage ]; then
+  python scripts/snapshot_artifacts.py --restore
+fi
 echo "workspace ready: $(ls workspace/data)"

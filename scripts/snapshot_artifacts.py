@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Mirror trained-model artifacts into the git-tracked ``artifacts/`` dir.
+
+VM resets wipe everything untracked (observed on this host: the round-2
+workspace with ~6 h of trained CNNs was lost and had to be rebuilt). The
+model files themselves are small (tens of MB msgpack), so keeping the
+latest checkpoint + metadata of every model under git makes the artifact
+chain restorable: ``--restore`` copies them back into
+``workspace/models_storage`` after a reset, and training resumes from the
+rolling checkpoint instead of epoch 0.
+
+Usage:
+  python scripts/snapshot_artifacts.py            # workspace -> artifacts/
+  python scripts/snapshot_artifacts.py --watch    # snapshot every 10 min
+  python scripts/snapshot_artifacts.py --restore  # artifacts/ -> workspace
+"""
+
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = os.path.join(REPO, "workspace", "models_storage")
+DST = os.path.join(REPO, "artifacts", "models_storage")
+
+# metadata is tiny — always mirrored; heavy files are limited to the final
+# model and the single rolling checkpoint (previous ones are deleted by the
+# trainer anyway)
+_KEEP_EXT = (".json", ".msgpack", ".npz")
+_SKIP_DIRS = ("figures",)
+
+
+def _files(root):
+    out = {}
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if d not in _SKIP_DIRS]
+        for f in filenames:
+            if f.endswith(_KEEP_EXT):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = p
+    return out
+
+
+def sync(src, dst) -> int:
+    """Copy changed files src->dst, remove dst files gone from src.
+    Returns the number of files copied."""
+    src_files = _files(src) if os.path.isdir(src) else {}
+    dst_files = _files(dst) if os.path.isdir(dst) else {}
+    copied = 0
+    now = time.time()
+    for rel, p in src_files.items():
+        q = os.path.join(dst, rel)
+        s = os.stat(p)
+        if now - s.st_mtime < 60.0:
+            continue  # likely still being written (non-atomic writers)
+        if rel in dst_files:
+            d = os.stat(q)
+            if s.st_size == d.st_size and s.st_mtime <= d.st_mtime:
+                continue
+        os.makedirs(os.path.dirname(q), exist_ok=True)
+        tmp = q + ".tmp"
+        shutil.copy2(p, tmp)
+        os.replace(tmp, q)  # atomic: a mid-copy crash never corrupts dst
+        copied += 1
+    for rel in set(dst_files) - set(src_files):
+        os.remove(os.path.join(dst, rel))
+    return copied
+
+
+def main(argv):
+    if "--restore" in argv:
+        n = sync(DST, SRC)
+        print(f"restored {n} file(s) from artifacts/ into workspace/")
+        return 0
+    if "--watch" in argv:
+        while True:
+            n = sync(SRC, DST)
+            if n:
+                print(f"[snapshot] {n} file(s) @ {time.strftime('%H:%M:%S')}",
+                      flush=True)
+            time.sleep(600)
+    n = sync(SRC, DST)
+    print(f"snapshotted {n} file(s) into artifacts/")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
