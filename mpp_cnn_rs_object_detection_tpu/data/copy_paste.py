@@ -36,6 +36,26 @@ def _abw_poly(center: np.ndarray, a: float, b: float, angle: float
     return np.asarray(center, np.float64)[None, :] + half @ rot.T
 
 
+_CORNER_SIGNS = np.array(
+    [[-0.5, -0.5], [-0.5, 0.5], [0.5, 0.5], [0.5, -0.5]]
+)  # (4, 2) in (u=a-axis, v=b-axis) units
+
+
+def _abw_polys(centers: np.ndarray, a, b, angle) -> np.ndarray:
+    """Batched ``_abw_poly``: (N, 2) centers + per-object (or scalar)
+    a/b/angle -> (N, 4, 2) corners."""
+    centers = np.asarray(centers, np.float64).reshape(-1, 2)
+    n = centers.shape[0]
+    a = np.broadcast_to(np.asarray(a, np.float64), (n,))
+    b = np.broadcast_to(np.asarray(b, np.float64), (n,))
+    angle = np.broadcast_to(np.asarray(angle, np.float64), (n,))
+    half = _CORNER_SIGNS[None] * np.stack([a, b], -1)[:, None, :]  # (N,4,2)
+    cos, sin = np.cos(angle), np.sin(angle)
+    rot = np.stack([np.stack([cos, -sin], -1),
+                    np.stack([sin, cos], -1)], -2)  # (N, 2, 2): u,v -> dy,dx
+    return centers[:, None, :] + np.einsum("nij,nkj->nki", rot, half)
+
+
 def _quad_intersects(p: np.ndarray, q: np.ndarray) -> bool:
     """Convex-quad overlap test via separating axes (host-side, exact)."""
     for poly in (p, q):
@@ -47,6 +67,45 @@ def _quad_intersects(p: np.ndarray, q: np.ndarray) -> bool:
             if a1 < b0 or b1 < a0:
                 return False
     return True
+
+
+def _quads_intersect_any(ps: np.ndarray, qs: np.ndarray) -> np.ndarray:
+    """For each candidate quad in ``ps`` (T, 4, 2): does it overlap ANY quad
+    in ``qs`` (N, 4, 2)? Returns (T,) bool.
+
+    Fully batched separating-axis test — one numpy pass over all T x N
+    pairs instead of a Python loop (the per-pair loop dominated patch-regen
+    profiles at dense ``max_objects``). Same strict comparisons as
+    ``_quad_intersects``.
+    """
+    ps = np.asarray(ps, np.float64).reshape(-1, 4, 2)
+    qs = np.asarray(qs, np.float64).reshape(-1, 4, 2)
+    if qs.shape[0] == 0 or ps.shape[0] == 0:
+        return np.zeros((ps.shape[0],), bool)
+    ep = np.roll(ps, -1, axis=1) - ps
+    ap = np.stack([-ep[..., 1], ep[..., 0]], axis=-1)      # (T, 4, 2)
+    eq = np.roll(qs, -1, axis=1) - qs
+    aq = np.stack([-eq[..., 1], eq[..., 0]], axis=-1)      # (N, 4, 2)
+
+    # candidate-axis projections: separation of pair (t, n) on t's axes
+    pp = np.einsum("tpk,tak->tpa", ps, ap)                 # (T, 4 pts, 4 ax)
+    qp = np.einsum("nqk,tak->tnqa", qs, ap)                # (T, N, 4, 4)
+    sep_p = (qp.max(2) < pp.min(1)[:, None]) \
+        | (pp.max(1)[:, None] < qp.min(2))                 # (T, N, 4)
+
+    # occupied-axis projections: separation of pair (t, n) on n's axes
+    pq = np.einsum("tpk,nak->tnpa", ps, aq)                # (T, N, 4, 4)
+    qq = np.einsum("nqk,nak->nqa", qs, aq)                 # (N, 4, 4)
+    sep_q = (pq.max(2) < qq.min(1)[None]) \
+        | (qq.max(1)[None] < pq.min(2))                    # (T, N, 4)
+
+    separated = sep_p.any(-1) | sep_q.any(-1)              # (T, N)
+    return (~separated).any(axis=1)
+
+
+def _quad_intersects_any(p: np.ndarray, qs: np.ndarray) -> bool:
+    """Does convex quad ``p`` (4, 2) overlap ANY of ``qs`` (N, 4, 2)?"""
+    return bool(_quads_intersect_any(p[None], qs)[0])
 
 
 @dataclass
@@ -122,10 +181,9 @@ def paste_objects(patch: np.ndarray, centers: np.ndarray, params: np.ndarray,
     cats = np.asarray(cats).reshape(-1)
     diff = np.asarray(diff, bool).reshape(-1)
     # occupied polys: existing GT slightly inflated so pastes keep a gap
-    occupied = [
-        _abw_poly(c, 1.25 * a, 1.25 * b, t)
-        for c, (a, b, t) in zip(centers, params)
-    ]
+    occupied = _abw_polys(centers, 1.25 * params[:, 0], 1.25 * params[:, 1],
+                          params[:, 2]) if len(centers) \
+        else np.zeros((0, 4, 2))
     new_c, new_p, new_k = [], [], []
     for idx in rng.choice(len(bank), size=n_paste):
         obj = bank[int(idx)]
@@ -136,12 +194,17 @@ def paste_objects(patch: np.ndarray, centers: np.ndarray, params: np.ndarray,
         delta = float(rng.uniform(0.0, np.pi))
         new_angle = float(np.mod(obj.angle + delta, np.pi))
         a, b = obj.a * scale, obj.b * scale
-        for _ in range(max_tries):
-            cy = float(rng.uniform(s / 2, h - s / 2))
-            cx = float(rng.uniform(s / 2, w - s / 2))
-            poly = _abw_poly((cy, cx), 1.25 * a, 1.25 * b, new_angle)
-            if any(_quad_intersects(poly, q) for q in occupied):
-                continue
+        # all candidate positions tested in ONE batched SAT pass (a
+        # sequential try-loop cost ~12 numpy round-trips per paste and
+        # dominated 16k-patch regenerations)
+        cys = rng.uniform(s / 2, h - s / 2, size=max_tries)
+        cxs = rng.uniform(s / 2, w - s / 2, size=max_tries)
+        cand = _abw_polys(np.stack([cys, cxs], -1), 1.25 * a, 1.25 * b,
+                          new_angle)
+        free = np.flatnonzero(~_quads_intersect_any(cand, occupied))
+        for t in free[:1]:
+            cy, cx = float(cys[t]), float(cxs[t])
+            poly = cand[t]
             chip = _rotate_crop(obj.crop, delta, scale)
             y0, x0 = int(round(cy - s / 2)), int(round(cx - s / 2))
             ccy, ccx = cy - y0, cx - x0
@@ -155,11 +218,10 @@ def paste_objects(patch: np.ndarray, centers: np.ndarray, params: np.ndarray,
                 alpha[..., None] * chip[:region.shape[0], :region.shape[1]]
                 + (1.0 - alpha[..., None]) * region
             )
-            occupied.append(poly)
+            occupied = np.concatenate([occupied, poly[None]], axis=0)
             new_c.append((cy, cx))
             new_p.append((a, b, new_angle))
             new_k.append(obj.category)
-            break
     if new_c:
         centers = np.concatenate([centers, np.asarray(new_c)], axis=0) \
             if len(centers) else np.asarray(new_c)

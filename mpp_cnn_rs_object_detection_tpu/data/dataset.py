@@ -63,22 +63,31 @@ def extract_patch(image: np.ndarray, center_anchor: np.ndarray, patch_size: int)
     shape = np.array(image.shape[:2])
     centers_offset = np.zeros((2,), dtype=int)
 
-    if tl_anchor[0] < 0 or tl_anchor[0] + patch_size >= shape[0]:
-        image = np.pad(
-            image, ((patch_size // 2, patch_size // 2), (0, 0), (0, 0)), "constant"
-        )
-        centers_offset[0] = patch_size // 2
-        tl_anchor[0] = tl_anchor[0] + patch_size // 2
-    if tl_anchor[1] < 0 or tl_anchor[1] + patch_size >= shape[1]:
-        image = np.pad(
-            image, ((0, 0), (patch_size // 2, patch_size // 2), (0, 0)), "constant"
-        )
-        centers_offset[1] = patch_size // 2
-        tl_anchor[1] = tl_anchor[1] + patch_size // 2
+    # border handling is a VIRTUAL zero-pad of patch_size//2 per padded dim
+    # (the reference np.pad's full-image copy cost ~30 ms/scene-sized call
+    # and dominated patch-regen profiles); tl_anchor/centers_offset keep the
+    # reference's padded-frame semantics exactly
+    src_tl = np.array(tl_anchor)  # top-left in ORIGINAL image coords
+    for d in (0, 1):
+        if tl_anchor[d] < 0 or tl_anchor[d] + patch_size >= shape[d]:
+            centers_offset[d] = patch_size // 2
+            tl_anchor[d] = tl_anchor[d] + patch_size // 2
 
-    patch = image[
-        tl_anchor[0] : tl_anchor[0] + patch_size, tl_anchor[1] : tl_anchor[1] + patch_size
-    ]
+    y0, x0 = int(src_tl[0]), int(src_tl[1])
+    cy0, cx0 = max(y0, 0), max(x0, 0)
+    cy1 = min(y0 + patch_size, int(shape[0]))
+    cx1 = min(x0 + patch_size, int(shape[1]))
+    if cy0 >= cy1 or cx0 >= cx1:
+        patch = np.zeros((patch_size, patch_size) + image.shape[2:],
+                         image.dtype)
+    elif cy1 - cy0 == patch_size and cx1 - cx0 == patch_size:
+        patch = image[cy0:cy1, cx0:cx1]
+    else:
+        patch = np.zeros((patch_size, patch_size) + image.shape[2:],
+                         image.dtype)
+        patch[cy0 - y0 : cy1 - y0, cx0 - x0 : cx1 - x0] = image[
+            cy0:cy1, cx0:cx1
+        ]
     return patch, tl_anchor, centers_offset
 
 

@@ -206,7 +206,10 @@ def _make_one_patch(i, n_local_patches, patch_path, label_path, meta_path, sampl
 
         patch_name = f"{image_id:04}_{k:04}"
         Image.fromarray((np.clip(patch, 0, 1) * 255).astype(np.uint8)).save(
-            os.path.join(data_dest, "images", f"{patch_name}.png")
+            os.path.join(data_dest, "images", f"{patch_name}.png"),
+            # temp patch sets are regenerated every few epochs: fast encode
+            # beats small files (default level 6 dominated regen profiles)
+            compress_level=1,
         )
         with open(os.path.join(data_dest, "annotations", f"{patch_name}.pkl"), "wb") as f:
             pickle.dump(

@@ -246,3 +246,25 @@ def test_build_patch_stack_with_copy_paste(tmp_path, monkeypatch):
     # pasted params stay in the source object's scale range
     pv = pasted.params[pasted.valid]
     assert np.all(pv[:, 0] > 0) and np.all(pv[:, 1] <= 16.0 * 1.15 + 1e-6)
+
+
+def test_quad_intersects_any_matches_pairwise():
+    """Batched SAT == per-pair SAT on random rotated quads."""
+    import numpy as np
+
+    from mpp_cnn_rs_object_detection_tpu.data.copy_paste import (
+        _quad_intersects_any,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        p = _abw_poly(rng.uniform(0, 40, 2), rng.uniform(2, 12),
+                      rng.uniform(2, 12), rng.uniform(0, np.pi))
+        qs = np.stack([
+            _abw_poly(rng.uniform(0, 40, 2), rng.uniform(2, 12),
+                      rng.uniform(2, 12), rng.uniform(0, np.pi))
+            for _ in range(rng.integers(1, 20))
+        ])
+        expected = any(_quad_intersects(p, q) for q in qs)
+        assert _quad_intersects_any(p, qs) == expected
+    assert not _quad_intersects_any(p, np.zeros((0, 4, 2)))

@@ -299,3 +299,39 @@ def test_translate_cowc_reference_config_keys(synth_env):
     assert img.shape == (18, 24, 3)
     assert (ann["centers"] >= 0).all()
     assert (ann["centers"][:, 0] < 18).all() and (ann["centers"][:, 1] < 24).all()
+
+
+def test_extract_patch_matches_pad_reference():
+    """The clipped-slice fast path == the reference full-image np.pad
+    implementation (reference utils/images.py:4-24) for interior, border,
+    and patch-larger-than-image anchors."""
+    rng = np.random.default_rng(11)
+
+    def ref_extract(image, center_anchor, patch_size):
+        center_anchor = np.asarray(center_anchor)
+        tl = center_anchor - patch_size // 2
+        shape = np.array(image.shape[:2])
+        off = np.zeros((2,), dtype=int)
+        if tl[0] < 0 or tl[0] + patch_size >= shape[0]:
+            image = np.pad(image, ((patch_size // 2, patch_size // 2),
+                                   (0, 0), (0, 0)), "constant")
+            off[0] = patch_size // 2
+            tl[0] += patch_size // 2
+        if tl[1] < 0 or tl[1] + patch_size >= shape[1]:
+            image = np.pad(image, ((0, 0), (patch_size // 2, patch_size // 2),
+                                   (0, 0)), "constant")
+            off[1] = patch_size // 2
+            tl[1] += patch_size // 2
+        return image[tl[0]: tl[0] + patch_size,
+                     tl[1]: tl[1] + patch_size], tl, off
+
+    for h, w, p in [(64, 80, 32), (40, 40, 48), (100, 60, 128), (57, 91, 16)]:
+        img = rng.random((h, w, 3)).astype(np.float32)
+        for _ in range(20):
+            anchor = np.array([rng.integers(0, h), rng.integers(0, w)])
+            got, tl_g, off_g = extract_patch(img, anchor, p)
+            want, tl_w, off_w = ref_extract(img, anchor, p)
+            assert got.shape == want.shape
+            np.testing.assert_array_equal(got, want)
+            np.testing.assert_array_equal(tl_g, tl_w)
+            np.testing.assert_array_equal(off_g, off_w)
