@@ -29,7 +29,7 @@ _PROBE = (
 )
 
 
-def wait_for_device(max_wait_s: float = 5400.0) -> bool:
+def wait_for_device(max_wait_s: float = 540.0) -> bool:
     """Block until a fresh process can run a jitted op.
 
     The axon TPU worker needs ~10-15 min to come back after a fault and a
@@ -40,7 +40,7 @@ def wait_for_device(max_wait_s: float = 5400.0) -> bool:
     while True:
         try:
             r = subprocess.run([sys.executable, "-c", _PROBE],
-                               timeout=300, capture_output=True)
+                               timeout=120, capture_output=True)
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
@@ -329,6 +329,17 @@ def main():
     det, dists = build_tile()
     on_cpu = os.environ.get("MPP_PLATFORM") == "cpu"
     try:
+        _run_benchmarks(det, dists, on_cpu)
+    finally:
+        # always drop the yield request: a crashed bench must not stall
+        # runbook resume for the 45-min staleness window (os.execve paths
+        # never reach here, which is correct — the re-exec'd bench still
+        # wants the device)
+        clear_device_yield()
+
+
+def _run_benchmarks(det, dists, on_cpu):
+    try:
         # CPU fallback shrinks each stage so the JSON line still lands in
         # minutes on the 1-core host (the full scene bench alone would cost
         # ~350 s of compile + a long chain there); throughput units stay
@@ -381,7 +392,6 @@ def main():
         },
     }
     print(json.dumps(result))
-    clear_device_yield()
 
 
 if __name__ == "__main__":

@@ -183,9 +183,11 @@ class PatchBasedTrainer:
             )
             self.logger.update_train_val(epoch, train_metrics, val_metrics)
             save_checkpoint(self.save_path, self.state, epoch + 1)
-            maybe_yield_device(f"epoch {epoch} checkpoint")
             if epoch_hook is not None:
                 epoch_hook(epoch)
+            # after the hook: a yield here resumes at epoch+1, so the hook
+            # for the just-checkpointed epoch must already have run
+            maybe_yield_device(f"epoch {epoch} checkpoint")
             if (
                 epoch % self.dataset_update_interval == 0
                 and epoch != 0

@@ -39,6 +39,7 @@ from mpp_cnn_rs_object_detection_tpu.mpp.state import (
     state_to_arrays,
 )
 from mpp_cnn_rs_object_detection_tpu.ops.nms import nms_distance
+from mpp_cnn_rs_object_detection_tpu.utils.config import maybe_yield_device
 
 
 def naive_detection(data: ImageWMaps, detection_threshold: float

@@ -281,11 +281,31 @@ def device_yield_requested() -> bool:
     return f"pid={os.getpid()}\n" not in content
 
 
+def _log_yield_boundary(context: str, yielding: bool) -> None:
+    """Append a holder-side audit line so a failed lease handoff can be
+    post-mortemed: who held the chip, when it last hit a safe boundary, and
+    whether it saw/obeyed a flag (the r02 BENCH starvation was undiagnosable
+    for lack of exactly this). Path derives from DEVICE_YIELD_FLAG at call
+    time so test isolation (which monkeypatches the flag) carries over."""
+    try:
+        import time as _time
+
+        with open(DEVICE_YIELD_FLAG + "_log", "a") as f:
+            f.write(
+                f"{_time.strftime('%Y-%m-%d %H:%M:%S')} pid={os.getpid()} "
+                f"boundary={context!r} yielding={yielding}\n"
+            )
+    except OSError:
+        pass
+
+
 def maybe_yield_device(context: str) -> None:
     """Exit rc 75 at a safe boundary if a yield was requested. Callers must
     have just persisted whatever state resuming needs (checkpoint saved /
     image results written)."""
-    if device_yield_requested():
+    requested = device_yield_requested()
+    _log_yield_boundary(context, requested)
+    if requested:
         logging.warning(
             "device yield requested — exiting at %s (resume with -r / "
             "skip-done-images picks up here)", context

@@ -42,9 +42,17 @@ def _files(root):
     return out
 
 
-def sync(src, dst) -> int:
-    """Copy changed files src->dst, remove dst files gone from src.
-    Returns the number of files copied."""
+def sync(src, dst, restore=False) -> int:
+    """Copy changed files src->dst. Returns the number of files copied.
+
+    Snapshot direction (restore=False): skip files younger than 60 s (likely
+    still being written by a non-atomic writer) and delete dst files gone
+    from src, mirroring the trainer's rolling-checkpoint cleanup.
+
+    Restore direction (restore=True): a fresh clone gives every artifact file
+    a current mtime, so the freshness skip would silently restore 0 files;
+    and the live workspace may hold NEWER not-yet-snapshotted checkpoints, so
+    never delete and never overwrite a strictly-newer same-size dst file."""
     src_files = _files(src) if os.path.isdir(src) else {}
     dst_files = _files(dst) if os.path.isdir(dst) else {}
     copied = 0
@@ -52,25 +60,28 @@ def sync(src, dst) -> int:
     for rel, p in src_files.items():
         q = os.path.join(dst, rel)
         s = os.stat(p)
-        if now - s.st_mtime < 60.0:
-            continue  # likely still being written (non-atomic writers)
+        if not restore and now - s.st_mtime < 60.0:
+            continue
         if rel in dst_files:
             d = os.stat(q)
             if s.st_size == d.st_size and s.st_mtime <= d.st_mtime:
                 continue
+            if restore and d.st_mtime > s.st_mtime:
+                continue  # workspace file is newer than the snapshot
         os.makedirs(os.path.dirname(q), exist_ok=True)
         tmp = q + ".tmp"
         shutil.copy2(p, tmp)
         os.replace(tmp, q)  # atomic: a mid-copy crash never corrupts dst
         copied += 1
-    for rel in set(dst_files) - set(src_files):
-        os.remove(os.path.join(dst, rel))
+    if not restore:
+        for rel in set(dst_files) - set(src_files):
+            os.remove(os.path.join(dst, rel))
     return copied
 
 
 def main(argv):
     if "--restore" in argv:
-        n = sync(DST, SRC)
+        n = sync(DST, SRC, restore=True)
         print(f"restored {n} file(s) from artifacts/ into workspace/")
         return 0
     if "--watch" in argv:
