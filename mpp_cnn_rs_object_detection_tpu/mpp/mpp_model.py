@@ -263,6 +263,50 @@ class MPPModel(BaseModel):
             self.energy_model,
         )
         logging.info("saved energy_combination_model.json")
+        self._dump_attribution_figure(names)
+
+    def _dump_attribution_figure(self, names) -> None:
+        """SHAP-style per-term attribution of the trained combined energy on
+        GT-configuration energy vectors (reference ``utils/figures/
+        show_shap_values.py`` — stale upstream, integrated-gradients here;
+        see ``mpp/figures.py:energy_attribution``). Non-fatal on failure."""
+        try:
+            from mpp_cnn_rs_object_detection_tpu.mpp.energies import (
+                energy_vectors,
+            )
+            from mpp_cnn_rs_object_detection_tpu.mpp.figures import (
+                attribution_summary_plot,
+                energy_attribution,
+            )
+            from mpp_cnn_rs_object_detection_tpu.mpp.state import (
+                state_from_arrays,
+            )
+
+            rows = []
+            for c in self._sample_crops("train", 8):
+                if len(c.gt_centers) == 0:
+                    continue
+                maps = self.energy_setup.make_maps(c)
+                gt = state_from_arrays(
+                    c.gt_centers[: self.capacity],
+                    c.gt_marks[: self.capacity],
+                    capacity=self.capacity,
+                )
+                vec = np.asarray(energy_vectors(gt, maps, self.energy_setup.spec))
+                rows.append(vec[np.asarray(gt.alive)])
+            if not rows:
+                return
+            flat = np.concatenate(rows, axis=0)
+            attr = energy_attribution(self.energy_model, flat)
+            fig_dir = os.path.join(self.save_path, "figures")
+            make_if_not_exist(fig_dir, recursive=True)
+            attribution_summary_plot(
+                attr, flat, list(names),
+                os.path.join(fig_dir, "energy_attribution.png"),
+            )
+            logging.info("saved figures/energy_attribution.png")
+        except Exception:
+            logging.exception("attribution figure failed (non-fatal)")
 
     # ---------------------------------------------------------------- infer
 

@@ -239,7 +239,15 @@ def enable_persistent_compilation_cache(cache_dir: Optional[str] = None
 # image) and exits with rc 75 (EX_TEMPFAIL) after saving state, and
 # ``scripts/resilient_run.py`` resumes the stage once the flag clears.
 
-DEVICE_YIELD_FLAG = os.path.join(_REPO_ROOT, "workspace", ".device_yield")
+# HOST-GLOBAL path (r02 post-mortem): the flag must be visible across
+# checkouts — the driver's bench may run from a different clone of this repo
+# than the live runbooks, and a repo-relative flag means requester and holder
+# silently watch different files (the r02 starvation: the pos_r2cp trainer
+# polled every ~54 s and never saw the bench's flag). /tmp is shared by every
+# process on the host; staleness self-cleanup handles crashed requesters.
+DEVICE_YIELD_FLAG = os.environ.get(
+    "MPP_DEVICE_YIELD_FLAG", "/tmp/mpp_tpu.device_yield"
+)
 DEVICE_YIELD_RC = 75
 _YIELD_STALE_S = 45 * 60.0
 

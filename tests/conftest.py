@@ -37,6 +37,22 @@ def pytest_runtest_setup(item):
 
 import pytest  # noqa: E402
 
+# fast pre-commit tier (scripts/quick_check.sh): modules measured ~1-2 min
+# TOTAL on this 1-core host even under runbook CPU contention; everything
+# compile-heavy (trainers, chains, scenes) stays in the full suite
+_QUICK_MODULES = {
+    "test_device_lease",
+    "test_geometry",
+    "test_ops_misc",
+    "test_metrics",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(autouse=True)
 def _isolate_device_yield_flag(tmp_path, monkeypatch):
