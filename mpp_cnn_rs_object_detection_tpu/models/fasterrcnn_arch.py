@@ -267,8 +267,10 @@ def rpn_targets(anchors: Array, gt: Array, gt_valid: Array,
 
 
 def rpn_loss(logits: Array, deltas: Array, anchors: Array, gt: Array,
-             gt_valid: Array, n_sample: float = 256.0):
-    labels, matched = rpn_targets(anchors, gt, gt_valid)
+             gt_valid: Array, n_sample: float = 256.0,
+             pos_iou: float = 0.7, neg_iou: float = 0.3):
+    labels, matched = rpn_targets(anchors, gt, gt_valid,
+                                  pos_iou=pos_iou, neg_iou=neg_iou)
     pos = labels == 1
     neg = labels == 0
     n_pos = jnp.maximum(jnp.sum(pos), 1.0)

@@ -236,8 +236,15 @@ class FasterRCNNModel(_DetectorBase):
         )
         feats, rpn_logits, rpn_deltas = out
 
+        # tiny-object matching: at gsd50 vehicles are ~5x9 px, so the
+        # torchvision default pos_iou=0.7 leaves only the one claimed
+        # best-anchor per GT positive — configurable for small-object runs
+        mc = self.config.get("model", {})
+        pos_iou = mc.get("rpn_pos_iou", 0.7)
+        neg_iou = mc.get("rpn_neg_iou", 0.3)
         rpn_c, rpn_r = jax.vmap(
-            lambda lg, dl, g, gv: rpn_loss(lg, dl, anchors_all, g, gv)
+            lambda lg, dl, g, gv: rpn_loss(lg, dl, anchors_all, g, gv,
+                                           pos_iou=pos_iou, neg_iou=neg_iou)
         )(rpn_logits, rpn_deltas,
           gt, gt_valid)
 
@@ -335,6 +342,11 @@ class FasterRCNNModel(_DetectorBase):
 
     def infer(self, subset: str = "val", overwrite: bool = True,
               min_confidence: float = 0.25, **kwargs):
+        # config override: AP is threshold-free, so quick-budget runs export
+        # at a low floor rather than dropping every weakly-scored detection
+        min_confidence = self.config.get("inference", {}).get(
+            "min_confidence", min_confidence
+        )
         results_dir = get_inference_path(
             model_name=os.path.split(self.save_path)[1],
             dataset=self.dataset, subset=subset,
@@ -469,6 +481,9 @@ class BBAVecModel(_DetectorBase):
 
     def infer(self, subset: str = "val", overwrite: bool = True,
               min_confidence: float = 0.2, **kwargs):
+        min_confidence = self.config.get("inference", {}).get(
+            "min_confidence", min_confidence
+        )
         results_dir = get_inference_path(
             model_name=os.path.split(self.save_path)[1],
             dataset=self.dataset, subset=subset,

@@ -121,13 +121,26 @@ def calibrate_param_dists(param_dist_maps: List[List[np.ndarray]],
     return coefs, intercepts
 
 
-def apply_remap_param_dist(param_dist_maps: List[np.ndarray], coefs, intercepts):
+def apply_remap_param_dist(param_dist_maps, coefs, intercepts):
     """``-2*sigmoid(p*coef + intercept) + 1`` (reference
-    ``energy_setup_legacy.py:144-150``)."""
-    out = []
-    for m, c, i in zip(param_dist_maps, coefs, intercepts):
-        out.append(-2.0 / (1.0 + np.exp(-(m * c + i))) + 1.0)
-    return out
+    ``energy_setup_legacy.py:144-150``).
+
+    Device-side pass (the maps are ~400 MB at flagship scale). Accepts a
+    list of 3 (H, W, C) arrays or a stacked (3, H, W, C) device array;
+    returns the same form."""
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(param_dist_maps, (list, tuple)):
+        return [
+            -2.0 * jax.nn.sigmoid(jnp.asarray(m, jnp.float32) * c + i) + 1.0
+            for m, c, i in zip(param_dist_maps, coefs, intercepts)
+        ]
+    c = jnp.asarray(coefs, jnp.float32).reshape(-1, 1, 1, 1)
+    i = jnp.asarray(intercepts, jnp.float32).reshape(-1, 1, 1, 1)
+    return -2.0 * jax.nn.sigmoid(
+        jnp.asarray(param_dist_maps, jnp.float32) * c + i
+    ) + 1.0
 
 
 def calibrate_min_area(gt_marks_list: List[np.ndarray], quantile: float = 0.01

@@ -111,19 +111,38 @@ class EnergyMaps:
     image: Array       # (H, W, 3) pixels or gradient field; (1,1,3) if unused
 
 
-def make_energy_maps(detection_map: np.ndarray, mark_energy_maps: List[np.ndarray],
+def stack_param_dists(param_dist_maps, pad_hw=None) -> "jnp.ndarray":
+    """Stack the 3 (H, W, C) mark maps into one (3, H, W, C) device array,
+    optionally zero-padding H/W (scene shape buckets). One host->device
+    transfer shared by ``EnergyMaps`` and ``KernelData`` construction — at
+    flagship scale the maps are ~400 MB, so the exact-scene path calls this
+    once and threads the device array through both constructors."""
+    d = jnp.stack([jnp.asarray(m, jnp.float32) for m in param_dist_maps])
+    if pad_hw is not None and (pad_hw[0] or pad_hw[1]):
+        d = jnp.pad(d, ((0, 0), (0, pad_hw[0]), (0, pad_hw[1]), (0, 0)))
+    return d
+
+
+def make_energy_maps(detection_map: np.ndarray, mark_energy_maps,
                      threshold: float, min_area: float, max_area: float,
                      mappings, target_ratio: float = 0.0,
                      image: Optional[np.ndarray] = None) -> EnergyMaps:
-    """Host-side constructor from CNN inference artifacts.
+    """Constructor from CNN inference artifacts (device-side passes).
 
     ``mark_energy_maps`` are the already-remapped (H, W, C) per-mark maps:
     legacy calibration ``-2*sigmoid(coef*p + icpt) + 1``
     (``energy_setup_legacy.py:144-150``) or plain ``-p`` (no-calibration).
+    A list of 3 (H, W, C) arrays or a stacked (3, H, W, C) array.
     """
+    if isinstance(mark_energy_maps, (list, tuple)):
+        mark_maps = jnp.stack(
+            [jnp.asarray(m, jnp.float32) for m in mark_energy_maps]
+        )
+    else:
+        mark_maps = jnp.asarray(mark_energy_maps, jnp.float32)
     return EnergyMaps(
-        position=jnp.asarray(-2.0 * (detection_map - threshold), jnp.float32),
-        mark_maps=jnp.stack([jnp.asarray(m, jnp.float32) for m in mark_energy_maps]),
+        position=-2.0 * (jnp.asarray(detection_map, jnp.float32) - threshold),
+        mark_maps=mark_maps,
         map_vmin=jnp.array([m.v_min for m in mappings], jnp.float32),
         map_vmax=jnp.array([m.v_max for m in mappings], jnp.float32),
         map_cyclic=jnp.array([m.is_cyclic for m in mappings], bool),

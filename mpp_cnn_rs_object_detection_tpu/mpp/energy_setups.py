@@ -19,6 +19,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from mpp_cnn_rs_object_detection_tpu.mpp.calibration import (
@@ -209,7 +210,12 @@ class NoCalibrationEnergySetup(EnergySetup):
                 cal["param_dist_remap_intercepts"],
             )
         else:
-            mark_maps = [-m for m in data.param_dist_maps]
+            # negate on device: the maps are ~400 MB at flagship scale and
+            # may already be a stacked device array (scene.py pre-transfer)
+            pd = data.param_dist_maps
+            if isinstance(pd, (list, tuple)):
+                pd = jnp.stack([jnp.asarray(m, jnp.float32) for m in pd])
+            mark_maps = -pd
         return make_energy_maps(
             detection_map=data.detection_map,
             mark_energy_maps=mark_maps,

@@ -144,21 +144,31 @@ def kernel_probabilities(weights=None, use_split_merge: bool = False
 def make_kernel_data(detection_map: np.ndarray, mark_dist_maps, mappings,
                      intensity: float, kernel_weights=None,
                      use_split_merge: bool = False) -> KernelData:
-    """Host-side constructor (mirrors ``make_kernels``)."""
-    det = np.asarray(detection_map, np.float64)
-    det = np.maximum(det, 0.0)
-    norm = det / max(det.sum(), 1e-30)
-    dists = np.stack([np.asarray(m, np.float32) for m in mark_dist_maps])  # (3,H,W,C)
-    dists = dists / np.maximum(dists.sum(axis=-1, keepdims=True), 1e-30)
+    """Constructor (mirrors ``make_kernels``).
+
+    The heavy per-map passes (stack, per-pixel normalisation, cumsum, pad)
+    run as device ops: at flagship scale the mark maps are ~400 MB, and a
+    1-core host spent most of the scene "prep" stage on these numpy passes.
+    ``mark_dist_maps`` may be a list of 3 (H, W, C) arrays (numpy or device)
+    or an already-stacked (3, H, W, C) device array (see
+    ``energies.stack_param_dists`` — lets the exact-scene path transfer the
+    maps once and share them with ``EnergyMaps``)."""
+    det = jnp.maximum(jnp.asarray(detection_map, jnp.float32), 0.0)
+    norm = det / jnp.maximum(det.sum(), 1e-30)
+    if isinstance(mark_dist_maps, (list, tuple)):
+        dists = jnp.stack(
+            [jnp.asarray(m, jnp.float32) for m in mark_dist_maps]
+        )  # (3,H,W,C)
+    else:
+        dists = jnp.asarray(mark_dist_maps, jnp.float32)
+    dists = dists / jnp.maximum(dists.sum(axis=-1, keepdims=True), 1e-30)
     h, w = det.shape
     c = dists.shape[-1]
     return KernelData(
-        birth_cdf=jnp.asarray(np.cumsum(norm.ravel()), jnp.float32),
-        log_birth_density=jnp.asarray(np.log(norm + EPS), jnp.float32),
-        mark_dists=jnp.asarray(dists),
-        padded_density=jnp.asarray(
-            np.pad(norm, MAX_DELTA, mode="constant"), jnp.float32
-        ),
+        birth_cdf=jnp.cumsum(norm.ravel()),
+        log_birth_density=jnp.log(norm + EPS),
+        mark_dists=dists,
+        padded_density=jnp.pad(norm, MAX_DELTA, mode="constant"),
         map_vmin=jnp.array([m.v_min for m in mappings], jnp.float32),
         map_vmax=jnp.array([m.v_max for m in mappings], jnp.float32),
         map_cyclic=jnp.array([m.is_cyclic for m in mappings], bool),

@@ -20,7 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpp_cnn_rs_object_detection_tpu.mpp.combinators import EnergyCombiner
-from mpp_cnn_rs_object_detection_tpu.mpp.energies import EnergyMaps
+from mpp_cnn_rs_object_detection_tpu.mpp.energies import (
+    EnergyMaps,
+    stack_param_dists,
+)
 from mpp_cnn_rs_object_detection_tpu.mpp.energy_setups import EnergySetup
 from mpp_cnn_rs_object_detection_tpu.mpp.image_data import (
     ImageWMaps,
@@ -156,14 +159,16 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     # compute is noise next to one saved compile.
     target_h, target_w = scene_shape_bucket(h0, w0, n_dev)
     data = pad_image_w_maps(data, 1)  # normalise crop_data
-    if data.shape[0] < target_h or data.shape[1] < target_w:
-        ph = max(0, target_h - data.shape[0])
-        pw = max(0, target_w - data.shape[1])
+    ph = max(0, target_h - data.shape[0])
+    pw = max(0, target_w - data.shape[1])
+    # the mark maps are the heavy part (~400 MB at flagship scale): transfer
+    # them ONCE and pad on device; EnergyMaps and KernelData construction
+    # then run as device passes on the shared array instead of a 1-core
+    # host spending the scene "prep" stage on numpy copies
+    data.param_dist_maps = stack_param_dists(data.param_dist_maps, (ph, pw))
+    if ph or pw:
         data.image = np.pad(data.image, ((0, ph), (0, pw), (0, 0)))
         data.detection_map = np.pad(data.detection_map, ((0, ph), (0, pw)))
-        data.param_dist_maps = [
-            np.pad(p, ((0, ph), (0, pw), (0, 0))) for p in data.param_dist_maps
-        ]
         data.shape = data.image.shape[:2]
     h, w = data.shape
 

@@ -366,3 +366,57 @@ def test_run_chain_sampling_respects_burn_in(setup):
         burn_in=1000, step_offset=1000,
     )
     assert int(n_coll2) == 7  # g in {1000,1008,...,1048}
+
+
+def test_kernel_data_device_prep_matches_host_reference():
+    """The device-side map prep (stack/normalise/cumsum/pad moved off-host
+    for the flagship scene "prep" stage) reproduces the original host-numpy
+    float64 construction, on both list and pre-stacked device inputs."""
+    import jax.numpy as jnp
+
+    from mpp_cnn_rs_object_detection_tpu.mpp.energies import (
+        stack_param_dists,
+    )
+    from mpp_cnn_rs_object_detection_tpu.mpp.kernels import (
+        EPS,
+        MAX_DELTA,
+        make_kernel_data,
+    )
+    from mpp_cnn_rs_object_detection_tpu.ops.mappings import default_mappings
+
+    rng = np.random.default_rng(11)
+    det = rng.random((24, 20)).astype(np.float32)
+    det[det < 0.3] = 0.0
+    dists = [rng.random((24, 20, C)).astype(np.float32) for _ in range(3)]
+    mappings = default_mappings(n_classes=C, size_min=0, size_max=16)
+
+    kd = make_kernel_data(det, dists, mappings, intensity=7.0)
+    # pre-stacked device input must give the identical result
+    kd2 = make_kernel_data(det, stack_param_dists(dists), mappings,
+                           intensity=7.0)
+    np.testing.assert_array_equal(np.asarray(kd.mark_dists),
+                                  np.asarray(kd2.mark_dists))
+    np.testing.assert_array_equal(np.asarray(kd.birth_cdf),
+                                  np.asarray(kd2.birth_cdf))
+
+    # host-numpy float64 reference (the pre-round-3 construction)
+    d64 = np.maximum(np.asarray(det, np.float64), 0.0)
+    norm = d64 / max(d64.sum(), 1e-30)
+    np.testing.assert_allclose(np.asarray(kd.birth_cdf),
+                               np.cumsum(norm.ravel()), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(kd.log_birth_density),
+                               np.log(norm + EPS), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(kd.padded_density),
+                               np.pad(norm, MAX_DELTA), rtol=1e-5, atol=1e-7)
+    ref_dists = np.stack(dists).astype(np.float64)
+    ref_dists /= np.maximum(ref_dists.sum(-1, keepdims=True), 1e-30)
+    np.testing.assert_allclose(np.asarray(kd.mark_dists), ref_dists,
+                               rtol=1e-5, atol=1e-6)
+
+    # stack_param_dists pads H/W on device like the scene bucket pad
+    padded = stack_param_dists(dists, (3, 5))
+    assert padded.shape == (3, 27, 25, C)
+    np.testing.assert_array_equal(np.asarray(padded[:, 24:, :, :]), 0.0)
+    np.testing.assert_array_equal(np.asarray(padded[:, :24, :20, :]),
+                                  np.stack(dists))
