@@ -53,10 +53,29 @@ _ID_RE = re.compile(r"[^0-9]*([0-9]+).*\.png")
 TRAIN_MODES = ["manual", "integral_criterion", "ordering_criterion"]
 
 
+def _cnn_checkpoint_mtime(model_name: str, kind: str) -> float:
+    """mtime of the model's newest weight file (0.0 if none found)."""
+    from mpp_cnn_rs_object_detection_tpu.utils.config import (
+        get_model_base_path,
+    )
+
+    mdir = os.path.join(get_model_base_path(), kind, model_name)
+    times = [
+        os.path.getmtime(os.path.join(mdir, f))
+        for f in (os.listdir(mdir) if os.path.isdir(mdir) else [])
+        if f.endswith(".msgpack")
+    ]
+    return max(times, default=0.0)
+
+
 def ensure_cnn_inference(dataset: str, subset: str, position_model: str,
                          shape_model: str):
     """Run posnet/shapenet inference lazily if result pickles are missing
-    (reference ``MPPDataset`` at ``data_loaders.py:175-202``)."""
+    (reference ``MPPDataset`` at ``data_loaders.py:175-202``) — or STALE:
+    a pickle older than its model's newest checkpoint is deleted and
+    regenerated, so resumed/extended CNN trainings (e.g. the 256-epoch
+    recipe extends) actually feed the MPP new maps instead of the cached
+    ones from the previous training budget."""
     paths = fetch_data_paths(dataset, subset, metadata=False)
     ids = [
         int(_ID_RE.match(os.path.split(p)[1]).group(1)) for p in paths["images"]
@@ -69,11 +88,19 @@ def ensure_cnn_inference(dataset: str, subset: str, position_model: str,
         (shape_model, "shapenet")
     ]:
         res_dir = get_inference_path(model_name, dataset, subset)
-        missing = [
-            i
-            for i in ids
-            if not os.path.exists(os.path.join(res_dir, f"{i:04}_results.pkl"))
-        ]
+        ckpt_mtime = _cnn_checkpoint_mtime(model_name, kind)
+        missing = []
+        for i in ids:
+            pkl = os.path.join(res_dir, f"{i:04}_results.pkl")
+            if os.path.exists(pkl):
+                if os.path.getmtime(pkl) >= ckpt_mtime:
+                    continue
+                logging.info(
+                    f"{kind}/{model_name} results for image {i} predate the "
+                    "newest checkpoint; regenerating"
+                )
+                os.remove(pkl)
+            missing.append(i)
         if not missing:
             continue
         logging.info(

@@ -185,3 +185,34 @@ def test_mpp_ordering_criterion_train(workspace):
     # weights moved away from init (1.0 everywhere)
     moved = [abs(v - 1.0) for k, v in report.items() if k.endswith("_weight")]
     assert max(moved) > 1e-3, report
+
+
+def test_stale_cnn_results_are_regenerated(workspace):
+    """A CNN result pickle older than its model's newest checkpoint must be
+    deleted and re-inferred — resumed/extended trainings (the 256-epoch
+    recipe) would otherwise silently feed the MPP maps from the previous
+    training budget."""
+    import time
+
+    from mpp_cnn_rs_object_detection_tpu.mpp.mpp_model import (
+        ensure_cnn_inference,
+    )
+    from mpp_cnn_rs_object_detection_tpu.utils.config import (
+        get_inference_path,
+    )
+
+    ensure_cnn_inference("synth_m", "val", "pos_m", "shape_m")
+    res_dir = get_inference_path("pos_m", "synth_m", "val")
+    pkl = os.path.join(res_dir, "0000_results.pkl")
+    assert os.path.exists(pkl)
+
+    # fresh pickle: untouched
+    ino0 = os.stat(pkl).st_ino
+    mt0 = os.path.getmtime(pkl)
+    ensure_cnn_inference("synth_m", "val", "pos_m", "shape_m")
+    assert os.path.getmtime(pkl) == mt0 and os.stat(pkl).st_ino == ino0
+
+    # backdate the pickle behind the checkpoint -> regenerated
+    os.utime(pkl, (time.time() - 3600, time.time() - 3600))
+    ensure_cnn_inference("synth_m", "val", "pos_m", "shape_m")
+    assert os.path.getmtime(pkl) > mt0 - 3600 + 1
