@@ -66,7 +66,13 @@ class DOTAResultsTranslator:
             polys = polys[..., ::-1]
         if self.det_type == "hbb":
             polys = polys_to_hbb(polys)
-        coords = _coord_rows(polys.astype(int), "%d")
+        # QUIRK FIXED vs reference: ``dota_results_translator.py:38`` writes
+        # GT as ``astype(int)`` — up to 1 px of truncation per corner, which
+        # caps even the ORACLE (GT echoed back as detections) at ~0.28 AP at
+        # IoU 0.75 on ~5-px vehicles. The devkit evaluator parses GT coords
+        # with float() (``dota_evaluation_task1.py``), so sub-pixel GT stays
+        # format-compatible; detections were always written "%.1f".
+        coords = _coord_rows(polys, "%.1f")
         lines = [
             f"{c} {cat} {int(bool(d))}"
             for c, cat, d in zip(coords, categories, difficulty)

@@ -159,8 +159,9 @@ def test_dota_writer_roundtrip(tmp_path):
     gt_lines = (tmp_path / "dota" / "gt" / "0007.txt").read_text().splitlines()
     parts = gt_lines[0].split(" ")
     assert parts[8] == "vehicle" and parts[9] == "0"
-    # flip_coor swaps (row, col) -> (x=col, y=row)
-    assert parts[0] == "2" and parts[1] == "1"
+    # flip_coor swaps (row, col) -> (x=col, y=row); GT keeps sub-pixel
+    # precision (the reference's int truncation is a fixed quirk)
+    assert parts[0] == "2.0" and parts[1] == "1.0"
     det_lines = (tmp_path / "dota" / "det" / "vehicle.txt").read_text().splitlines()
     assert det_lines[0].startswith("0007 0.5 2.0 1.0")
     assert (tmp_path / "dota" / "imageSet.txt").read_text() == "0007"
