@@ -1,0 +1,40 @@
+#!/bin/bash
+# ROUND 3 PHASE D — after r3c: re-export rows that predate the sub-pixel GT
+# fix (dota_writer.py now writes GT at "%.1f"; phase-B bbavec/oracle rows
+# were evaluated against int-truncated GT). Inference re-runs re-export GT
+# and detections; eval then scores against exact geometry.
+set -x
+cd /root/repo
+stamp() { date +%s; }
+STATUS=/tmp/r3d_status.log
+BLACKOUT_START=1787178600  # 22:30 UTC 2026-08-19
+BLACKOUT_END=1787186700    # 00:45 UTC 2026-08-20
+HARD_END=1787208000
+
+wait_window() {
+  while :; do
+    t=$(stamp)
+    [ "$t" -ge "$HARD_END" ] && return 1
+    if [ "$t" -lt "$BLACKOUT_START" ] || [ "$t" -gt "$BLACKOUT_END" ]; then
+      return 0
+    fi
+    sleep 120
+  done
+}
+
+run_stage() {
+  local tag=$1 attempts=$2; shift 2
+  wait_window || { echo "R3D_${tag} SKIPPED (hard end)" >> "$STATUS"; return; }
+  t0=$(stamp)
+  python scripts/resilient_run.py "$attempts" -- "$@" \
+    > "/tmp/r3d_${tag}.log" 2>&1
+  echo "R3D_${tag} rc=$? dt=$(( $(stamp) - t0 ))s" >> "$STATUS"
+}
+
+while ! grep -q R3C_DONE /tmp/r3c_status.log 2>/dev/null; do sleep 120; done
+
+run_stage BBAVEC_INFER3 5 -p infereval -m bbavec -c bbavec_quick -s val -o
+run_stage ORACLE2 3 -p infereval -m oracle -c config_oracle -s val -o
+
+python scripts/snapshot_artifacts.py >> "$STATUS" 2>&1
+echo R3D_DONE >> "$STATUS"
