@@ -33,6 +33,21 @@ run_stage() {
 
 while ! grep -q R3C_DONE /tmp/r3c_status.log 2>/dev/null; do sleep 120; done
 
+# the 256-epoch flagship: phase B's 23:00 deadline guard may have skipped
+# these if the shape extend ran long — run them here if the combinator is
+# missing (idempotent; phase B's run wins if it happened)
+MS=workspace/models_storage/mpp
+if ! [ -f "$MS/mpp_log_r10/energy_combination_model.json" ]; then
+  run_stage MPP_R10_TRAIN 5 -p train -m mpp -c mpp_log_r10 -o
+fi
+run_stage MPP_R10_INFER 10 -p infereval -m mpp -c mpp_log_r10 -s val -o
+if [ -f "$MS/mpp_log_r10/energy_combination_model.json" ]; then
+  rm -rf "$MS/mpp_log_r10parity"
+  cp -r "$MS/mpp_log_r10" "$MS/mpp_log_r10parity"
+  rm -f "$MS/mpp_log_r10parity/config.json"
+  run_stage R10_PARITY2 5 -p infereval -m mpp -c mpp_log_r10parity -s val -o
+fi
+
 run_stage BBAVEC_INFER3 5 -p infereval -m bbavec -c bbavec_quick -s val -o
 run_stage ORACLE2 3 -p infereval -m oracle -c config_oracle -s val -o
 
