@@ -48,6 +48,14 @@ if [ -f "$MS/mpp_log_r10/energy_combination_model.json" ]; then
   run_stage R10_PARITY2 5 -p infereval -m mpp -c mpp_log_r10parity -s val -o
 fi
 
+# polish arm: same trained r10 weights, + 64 zero-T gradient-polish steps
+if [ -f "$MS/mpp_log_r10/energy_combination_model.json" ]; then
+  rm -rf "$MS/mpp_log_r10pol"
+  cp -r "$MS/mpp_log_r10" "$MS/mpp_log_r10pol"
+  rm -f "$MS/mpp_log_r10pol/config.json"
+  run_stage R10_POLISH 5 -p infereval -m mpp -c mpp_log_r10pol -s val -o
+fi
+
 run_stage BBAVEC_INFER3 5 -p infereval -m bbavec -c bbavec_quick -s val -o
 run_stage ORACLE2 3 -p infereval -m oracle -c config_oracle -s val -o
 
