@@ -370,6 +370,47 @@ class MPPModel(BaseModel):
         use_split_merge = bool(rj_cfg.get("use_split_merge", False))
         max_score = self.config["inference"].get("max_score", 4.0)
 
+        # batched exact mode: all pending scenes share one shape-bucketed
+        # program signature, so their chains run as ONE vmapped launch
+        # sequence — the superstep is launch-bound at flagship scale, so a
+        # val split costs ~one scene's wall clock (bit-identical per-scene
+        # results at equal capacity: tests/test_batched_scenes.py)
+        batch_results, batch_datas = {}, {}
+        scene_mode_cfg = self.config["inference"].get("scene_mode", "tiled")
+        if (
+            self.config["inference"].get("batch_scenes")
+            and scene_mode_cfg == "exact"
+            and not self.config["inference"].get("scene_mesh")
+            and int(self.config["inference"].get("restarts", 1)) == 1
+        ):
+            pending = [
+                pid
+                for pid in self._image_ids(subset)
+                if overwrite
+                or not os.path.exists(
+                    os.path.join(results_dir, f"{pid:04}_results.pkl")
+                )
+            ]
+            if len(pending) > 1:
+                from mpp_cnn_rs_object_detection_tpu.mpp.scene import (
+                    run_exact_scenes_batched,
+                )
+
+                maybe_yield_device("before batched scenes")
+                datas = [self._load_image(pid, subset) for pid in pending]
+                results = run_exact_scenes_batched(
+                    datas, self.energy_setup, self.energy_model, params,
+                    seeds=pending, capacity=self.capacity,
+                    checkpoint_path=os.path.join(
+                        results_dir, "batched_chains.ck.npz"
+                    ),
+                    polish_steps=int(
+                        self.config["inference"].get("polish_steps", 0)
+                    ),
+                )
+                batch_results = dict(zip(pending, results))
+                batch_datas = dict(zip(pending, datas))
+
         for patch_id in self._image_ids(subset):
             out_pkl = os.path.join(results_dir, f"{patch_id:04}_results.pkl")
             if os.path.exists(out_pkl) and not overwrite:
@@ -377,7 +418,10 @@ class MPPModel(BaseModel):
                 continue
             maybe_yield_device(f"before image {patch_id}")
             t_stage = time.perf_counter()
-            data = self._load_image(patch_id, subset)
+            if patch_id in batch_results:
+                data = batch_datas[patch_id]
+            else:
+                data = self._load_image(patch_id, subset)
             t_load = time.perf_counter() - t_stage
             scene_mode = self.config["inference"].get("scene_mode", "tiled")
             mesh = None
@@ -407,26 +451,33 @@ class MPPModel(BaseModel):
             # rerun (scripts/resilient_run.py) resumes at the last segment,
             # losing <= segment_size moves per crash
             t_stage = time.perf_counter()
-            result = run_mpp_on_scene(
-                data,
-                self.energy_setup,
-                self.energy_model,
-                params,
-                seed=patch_id,
-                patch_size=self.patch_size,
-                capacity=self.capacity,
-                use_split_merge=use_split_merge,
-                sampler=self.config["inference"].get("sampler", "sequential"),
-                scene_mode=scene_mode,
-                polish_steps=int(
-                    self.config["inference"].get("polish_steps", 0)
-                ),
-                restarts=int(self.config["inference"].get("restarts", 1)),
-                checkpoint_path=os.path.join(
-                    results_dir, f"{patch_id:04}_chains.ck.npz"
-                ),
-                mesh=mesh,
-            )
+            if patch_id in batch_results:
+                result = batch_results[patch_id]
+            else:
+                result = run_mpp_on_scene(
+                    data,
+                    self.energy_setup,
+                    self.energy_model,
+                    params,
+                    seed=patch_id,
+                    patch_size=self.patch_size,
+                    capacity=self.capacity,
+                    use_split_merge=use_split_merge,
+                    sampler=self.config["inference"].get(
+                        "sampler", "sequential"
+                    ),
+                    scene_mode=scene_mode,
+                    polish_steps=int(
+                        self.config["inference"].get("polish_steps", 0)
+                    ),
+                    restarts=int(
+                        self.config["inference"].get("restarts", 1)
+                    ),
+                    checkpoint_path=os.path.join(
+                        results_dir, f"{patch_id:04}_chains.ck.npz"
+                    ),
+                    mesh=mesh,
+                )
             t_chain = time.perf_counter() - t_stage
             t_stage = time.perf_counter()
 

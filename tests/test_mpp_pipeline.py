@@ -216,3 +216,38 @@ def test_stale_cnn_results_are_regenerated(workspace):
     os.utime(pkl, (time.time() - 3600, time.time() - 3600))
     ensure_cnn_inference("synth_m", "val", "pos_m", "shape_m")
     assert os.path.getmtime(pkl) > mt0 - 3600 + 1
+
+
+def test_mpp_batched_exact_infer(workspace):
+    """CLI-level batched exact inference: batch_scenes stacks the val scenes
+    into one vmapped chain program and the per-scene post/export stage
+    consumes the precomputed results."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.mpp_model import MPPModel
+    from mpp_cnn_rs_object_detection_tpu.utils.config import get_inference_path
+
+    cfg = _mpp_config(
+        "mpp_mb",
+        {
+            "manual": {
+                "threshold": 0.0,
+                "Data": 0.5, "Prior": 0.5,
+                "PositionEnergy": 0.8, "ShapeEnergy": 0.2,
+                "RectangleOverlapEnergy": 0.6, "ShapeAlignmentEnergy": 0.05,
+                "AreaPriorEnergy": 0.2,
+            }
+        },
+    )
+    cfg["inference"]["scene_mode"] = "exact"
+    cfg["inference"]["batch_scenes"] = True
+    model = MPPModel(cfg, phase="train", overwrite=True)
+    model.train()
+    model2 = MPPModel(cfg, load=True)
+    model2.infer(subset="val", overwrite=True)
+    model2.eval()
+    results_dir = get_inference_path("mpp_mb", "synth_m", "val")
+    with open(os.path.join(results_dir, "0000_results.pkl"), "rb") as f:
+        res = pickle.load(f)
+    assert res["detection_type"] == "poly"
+    with open(os.path.join(results_dir, "dota", "metrics0.05.json")) as f:
+        metrics = json.load(f)
+    assert metrics["vehicle"]["ap"] > 0.1, metrics["vehicle"]["ap"]
