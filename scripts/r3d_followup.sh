@@ -56,6 +56,23 @@ if [ -f "$MS/mpp_log_r10/energy_combination_model.json" ]; then
   run_stage R10_POLISH 5 -p infereval -m mpp -c mpp_log_r10pol -s val -o
 fi
 
+# TTA arm: weight-copy the (extended) CNNs, regenerate dihedral-TTA maps
+# under the *_tta names, run the same trained r10 weights on them
+if [ -f "$MS/mpp_log_r10/energy_combination_model.json" ]; then
+  for pair in "posnet/pos_r2cp posnet/pos_r2cp_tta" \
+              "posnet/pos_r2 posnet/pos_r2_tta" \
+              "shapenet/shape_r2cp shapenet/shape_r2cp_tta"; do
+    set -- $pair
+    rm -rf "workspace/models_storage/$2"
+    cp -r "workspace/models_storage/$1" "workspace/models_storage/$2"
+    rm -f "workspace/models_storage/$2/config.json"
+  done
+  rm -rf "$MS/mpp_log_r10tta"
+  cp -r "$MS/mpp_log_r10" "$MS/mpp_log_r10tta"
+  rm -f "$MS/mpp_log_r10tta/config.json"
+  run_stage R10_TTA 5 -p infereval -m mpp -c mpp_log_r10tta -s val -o
+fi
+
 run_stage BBAVEC_INFER3 5 -p infereval -m bbavec -c bbavec_quick -s val -o
 run_stage ORACLE2 3 -p infereval -m oracle -c config_oracle -s val -o
 
