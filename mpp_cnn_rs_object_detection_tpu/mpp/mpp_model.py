@@ -398,9 +398,19 @@ class MPPModel(BaseModel):
 
                 maybe_yield_device("before batched scenes")
                 datas = [self._load_image(pid, subset) for pid in pending]
+                batch_mesh = None
+                if self.config["inference"].get("batch_mesh"):
+                    devs = jax.devices()
+                    if len(devs) > 1:
+                        from jax.sharding import Mesh
+
+                        batch_mesh = Mesh(
+                            np.asarray(devs).reshape(-1), ("scenes",)
+                        )
                 results = run_exact_scenes_batched(
                     datas, self.energy_setup, self.energy_model, params,
                     seeds=pending, capacity=self.capacity,
+                    mesh=batch_mesh,
                     checkpoint_path=os.path.join(
                         results_dir, "batched_chains.ck.npz"
                     ),

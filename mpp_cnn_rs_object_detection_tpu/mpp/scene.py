@@ -757,7 +757,7 @@ def run_exact_scenes_batched(
     params: RJMCMCParams, seeds: List[int], capacity: int = 256,
     init: str = "naive", kernel_weights=None,
     checkpoint_path: Optional[str] = None, segment_size: int = 4096,
-    polish_steps: int = 0,
+    polish_steps: int = 0, mesh=None,
 ) -> List[SceneResult]:
     """EXACT whole-scene MPP over a BATCH of scenes in one device program.
 
@@ -770,8 +770,13 @@ def run_exact_scenes_batched(
     Key schedule parity: scene i uses ``PRNGKey(seeds[i])`` folded per
     segment exactly as ``run_exact_scene`` does — a batched run is
     BIT-IDENTICAL to per-scene sequential runs at equal capacity
-    (pinned by ``tests/test_batched_scenes.py``). Single-device;
-    restarts/mesh are the per-scene path's domain."""
+    (pinned by ``tests/test_batched_scenes.py``).
+
+    ``mesh``: optional 1-axis ``jax.sharding.Mesh`` — scenes are
+    independent chains, so the batch axis shards over its devices with
+    ZERO collectives (GSPMD partitions the vmapped program trivially;
+    results stay bit-identical). Uses the first ``B % n == 0`` prefix of
+    the mesh; restarts/row-sharding remain the per-scene path's domain."""
     from mpp_cnn_rs_object_detection_tpu.parallel.sharded_scene import (
         run_exact_scene_chain,
     )
@@ -833,6 +838,30 @@ def run_exact_scenes_batched(
         ],
     )
 
+    shard_batch = None
+    if mesh is not None and int(mesh.devices.size) > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        n_dev = int(mesh.devices.size)
+        b = len(datas)
+        n_use = max(d for d in range(1, min(n_dev, b) + 1) if b % d == 0)
+        if n_use > 1:
+            axis = mesh.axis_names[0]
+            sub = Mesh(mesh.devices.reshape(-1)[:n_use], (axis,))
+            sharding = NamedSharding(sub, P(axis))
+
+            def shard_batch(tree):  # noqa: F811 — closure, not reassign
+                return jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sharding), tree
+                )
+
+            state = shard_batch(state)
+            maps_b = shard_batch(maps_b)
+            kd_b = shard_batch(kd_b)
+            logging.info(
+                f"batched scenes: sharding {b} scenes over {n_use} devices"
+            )
+
     # identical budget math to run_exact_scene (shared bucket => shared)
     n_cells = max(h, w) // (2 * CELL) + 1
     mps = max(1, n_cells * n_cells // 2)
@@ -861,6 +890,8 @@ def run_exact_scenes_batched(
                 xy=jnp.asarray(ck["xy"]), marks=jnp.asarray(ck["marks"]),
                 alive=jnp.asarray(ck["alive"]),
             )
+            if shard_batch is not None:
+                state = shard_batch(state)
             done, t0 = int(ck["done"]), float(ck["t0"])
             logging.info(
                 f"batched scenes: resuming at superstep {done}"
@@ -880,6 +911,8 @@ def run_exact_scenes_batched(
         seg_keys = jnp.stack(
             [jax.random.fold_in(k, done) for k in base_keys]
         )
+        if shard_batch is not None:
+            seg_keys = shard_batch(seg_keys)
 
         def _one(k, st, mp, kd_, ca=None):
             return run_exact_scene_chain(

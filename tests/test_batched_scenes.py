@@ -113,3 +113,40 @@ def test_batched_checkpoint_resume(tmp_path):
     assert not os.path.exists(ck)
     for r_full, r_again in zip(full, again):
         np.testing.assert_array_equal(r_full.centers, r_again.centers)
+
+
+def test_batched_scenes_sharded_over_mesh():
+    """The scenes axis shards over a device mesh with zero collectives —
+    results bit-identical to the unsharded batched run."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+
+    rng = np.random.default_rng(0)
+    datas_a = [_scene(8), _scene(9, n_obj=4)]
+    datas_b = [_scene(8), _scene(9, n_obj=4)]
+    setup = NoCalibrationEnergySetup()
+    setup.calibrate(datas_a, rng, save_path="")
+    comb = comb_lib.sum_combiner(setup.spec.names)
+    params = RJMCMCParams(
+        n_steps=320, alpha_t=0.98, n_samples=0, samples_interval=16
+    )
+    seeds = [13, 17]
+
+    plain = run_exact_scenes_batched(
+        datas_a, setup, comb, params, seeds=seeds, capacity=128,
+        segment_size=128,
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("scenes",))
+    sharded = run_exact_scenes_batched(
+        datas_b, setup, comb, params, seeds=seeds, capacity=128,
+        segment_size=128, mesh=mesh,
+    )
+    for r_p, r_s in zip(plain, sharded):
+        assert len(r_p.centers) > 0
+        np.testing.assert_array_equal(r_s.centers, r_p.centers)
+        np.testing.assert_array_equal(r_s.marks, r_p.marks)
+        np.testing.assert_allclose(r_s.scores, r_p.scores, rtol=1e-5,
+                                   atol=1e-6)
