@@ -556,7 +556,12 @@ class MPPModel(BaseModel):
                     # mean is the best point estimate available
                     marks_bf_cols = []
                     for m, d in zip(data.mappings, data.param_dist_maps):
-                        probs = d[ijb[:, 0], ijb[:, 1]].astype(np.float64)
+                        # host-side complex math below: force numpy (the
+                        # stacked device maps would hit TPU's unimplemented
+                        # complex reduction)
+                        probs = np.asarray(
+                            d[ijb[:, 0], ijb[:, 1]], np.float64
+                        )
                         centers_v = m.class_to_center_value(
                             np.arange(probs.shape[-1])
                         ).astype(np.float64)
