@@ -75,8 +75,12 @@ def combine(comb: EnergyCombiner, vec: Array) -> Array:
         return wdp[0] * data_term + wdp[1] * prior_term + p["bias"]
 
     if kind == "logistic":
+        # reference formula (``logistic.py:14-69``): 2*sigmoid(w.e + b) - 1
+        # with the scalar bias added ONCE. (Rounds <= 3 summed the bias per
+        # energy column — n x the reference's +b; combiner files from those
+        # rounds are migrated on load, see ``combiner_from_dict``.)
         return 2.0 * jax.nn.sigmoid(
-            jnp.sum(p["bias"] + p["weights"] * vec, axis=-1)
+            jnp.sum(p["weights"] * vec, axis=-1) + p["bias"]
         ) - 1.0
 
     if kind == "linear":
@@ -214,11 +218,18 @@ def init_combiner(kind: str, names: Sequence[str], **kwargs) -> EnergyCombiner:
 # ----------------------------------------------------------------- persistence
 
 
+# bump when ``combine`` semantics change; ``combiner_from_dict`` migrates
+# older files so trained artifacts keep their exact behavior.
+#   v2: logistic bias applied once (v1/unversioned summed it per column)
+COMBINER_FORMAT_VERSION = 2
+
+
 def combiner_to_dict(comb: EnergyCombiner) -> dict:
     return {
         "kind": comb.kind,
         "names": list(comb.names),
         "indicator": comb.indicator,
+        "version": COMBINER_FORMAT_VERSION,
         "params": {
             k: (np.asarray(v).tolist()) for k, v in comb.params.items()
         },
@@ -226,10 +237,18 @@ def combiner_to_dict(comb: EnergyCombiner) -> dict:
 
 
 def combiner_from_dict(d: dict) -> EnergyCombiner:
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in d["params"].items()}
+    if d.get("version", 1) < 2 and d["kind"] == "logistic":
+        # v1 logistic summed the scalar bias once PER COLUMN; scale the
+        # stored bias so the single-bias formula reproduces the trained
+        # behavior bit-for-bit. Importing the reference's own pickled
+        # weights needs no shim: reference files are single-bias already —
+        # write them with "version": 2 (or any >= 2).
+        params["bias"] = params["bias"] * float(len(d["names"]))
     return EnergyCombiner(
         kind=d["kind"],
         names=tuple(d["names"]),
-        params={k: jnp.asarray(v, jnp.float32) for k, v in d["params"].items()},
+        params=params,
         indicator=d.get("indicator", 0),
     )
 

@@ -369,6 +369,21 @@ class MPPModel(BaseModel):
         )
         use_split_merge = bool(rj_cfg.get("use_split_merge", False))
         max_score = self.config["inference"].get("max_score", 4.0)
+        # config-driven stopping conditions, evaluated between exact-scene
+        # annealing segments (reference stopping.py wiring via rjmcmc_params)
+        from mpp_cnn_rs_object_detection_tpu.mpp.stopping import (
+            stopping_from_config,
+        )
+
+        stopping_cfg = rj_cfg.get("stopping")
+        make_stopping = lambda: stopping_from_config(stopping_cfg)  # noqa: E731
+        segment_size = int(
+            self.config["inference"].get("segment_size", 4096)
+        )
+        # superstep move mixture: data-driven translation/mark-transform at
+        # the reference's 2:1 weighting by default (make_kernels.py:113-137);
+        # False restores the round-3 gaussian-only superstep for A/B runs
+        data_moves = bool(rj_cfg.get("superstep_data_moves", True))
 
         # batched exact mode: all pending scenes share one shape-bucketed
         # program signature, so their chains run as ONE vmapped launch
@@ -417,6 +432,9 @@ class MPPModel(BaseModel):
                     polish_steps=int(
                         self.config["inference"].get("polish_steps", 0)
                     ),
+                    stopping=make_stopping(),
+                    segment_size=segment_size,
+                    data_moves=data_moves,
                 )
                 batch_results = dict(zip(pending, results))
                 batch_datas = dict(zip(pending, datas))
@@ -472,6 +490,7 @@ class MPPModel(BaseModel):
                     seed=patch_id,
                     patch_size=self.patch_size,
                     capacity=self.capacity,
+                    segment_size=segment_size,
                     use_split_merge=use_split_merge,
                     sampler=self.config["inference"].get(
                         "sampler", "sequential"
@@ -487,12 +506,17 @@ class MPPModel(BaseModel):
                         results_dir, f"{patch_id:04}_chains.ck.npz"
                     ),
                     mesh=mesh,
+                    stopping=make_stopping(),
+                    data_moves=data_moves,
                 )
             t_chain = time.perf_counter() - t_stage
             t_stage = time.perf_counter()
 
             det_centers = np.asarray(result.centers).reshape(-1, 2)
-            if self.config["inference"].get("refine_centers", True):
+            # default OFF: every beyond-reference rescoring extension
+            # (refine/blend/backfill/polish) must be opted into, so a
+            # reference-shaped config reproduces reference behavior
+            if self.config["inference"].get("refine_centers", False):
                 from mpp_cnn_rs_object_detection_tpu.mpp.refine import (
                     snap_centers_to_map,
                 )

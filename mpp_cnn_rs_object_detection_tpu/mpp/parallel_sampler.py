@@ -63,6 +63,12 @@ CELL = 32  # >= max interaction radius (32 px)
 
 # per-cell move mixture
 P_BIRTH, P_DEATH, P_TRL, P_TRF = 0.25, 0.25, 0.25, 0.25
+# within the translation / mark-transform families: gaussian 1/3, data 2/3
+# — the reference mixture's 1:2 weighting of data-driven moves
+# (``make_kernels.py:113-137``: data_translation_weight 2.0 vs gaussian 1.0,
+# same for transformations). ``data_moves=False`` restores the round-3
+# gaussian-only superstep (config ``rjmcmc_params.superstep_data_moves``).
+P_DATA_SUB = 2.0 / 3.0
 
 
 @flax.struct.dataclass
@@ -101,15 +107,24 @@ def make_local_view(kd: KernelData, maps: EnergyMaps) -> MapView:
 
 def _cell_proposal(key, state: PointsState, kd: KernelData, view: MapView,
                    h: int, w: int, y0: Array, x0: Array,
-                   free_slot: Array, free_ok: Array):
+                   free_slot: Array, free_ok: Array,
+                   data_moves: bool = True):
     """One MH proposal confined to the cell [y0, y0+CELL) x [x0, x0+CELL).
 
     Births sample their pixel from the cell's window of the detection
     density (the cell-local analog of the reference's data-driven birth);
     all map reads go through ``view`` so the same code runs on whole-image
-    and row-sharded blocks."""
+    and row-sharded blocks.
+
+    With ``data_moves`` (default), translations and mark transforms are a
+    gaussian/data mixture weighted 1:2 like the reference's kernel tree
+    (``transform_kernels.py:61-225``, ``make_kernels.py:113-137``): data
+    translation resamples the position from the local ``WINDOW``-sized
+    patch of the detection density (clipped to the cell so simultaneous
+    proposals stay non-interacting) and data transform resamples ONE mark
+    from its per-pixel shapenet distribution."""
     (k_type, k_slot, k_pos, k_marks, k_delta, k_param,
-     k_sub) = jax.random.split(key, 7)
+     k_sub, k_dsub, k_data) = jax.random.split(key, 9)
 
     # valid in-image extent of this cell
     ylo = jnp.clip(y0, 0, h)
@@ -203,12 +218,12 @@ def _cell_proposal(key, state: PointsState, kd: KernelData, view: MapView,
     # ---- translate: gaussian, clipped to the cell (stays non-interacting);
     # continuous — no pixel truncation
     delta = kd.sigma_trl * jax.random.normal(k_delta, (2,))
-    trl_xy = jnp.clip(
+    g_trl_xy = jnp.clip(
         state.xy[safe_slot] + delta,
         jnp.stack([ylo, xlo]).astype(jnp.float32),
         jnp.stack([yhi - 1, xhi - 1]).astype(jnp.float32),
     )
-    trl_logp = (
+    g_trl_logp = (
         _log(jnp.asarray(P_TRL))
         + jnp.sum(_normal_logpdf(delta, kd.sigma_trl))
         - _log(n_cell)
@@ -225,12 +240,80 @@ def _cell_proposal(key, state: PointsState, kd: KernelData, view: MapView,
         ((old + mdelta) % rng_) + kd.map_vmin[pid],
         jnp.clip(old + mdelta, kd.map_vmin[pid], kd.map_vmax[pid]),
     )
-    trf_marks = state.marks[safe_slot].at[pid].set(new_val)
-    trf_logp = (
+    g_trf_marks = state.marks[safe_slot].at[pid].set(new_val)
+    g_trf_logp = (
         _log(jnp.asarray(P_TRF))
         + _normal_logpdf(mdelta, sigma)
         - _log(n_cell)
     )
+
+    if data_moves:
+        from mpp_cnn_rs_object_detection_tpu.mpp.kernels import (
+            MAX_DELTA,
+            WINDOW,
+        )
+
+        k_dtrl, k_dtrf, k_djit = jax.random.split(k_data, 3)
+        sub_u = jax.random.uniform(k_dsub, (2,))
+        use_data_trl = sub_u[0] < P_DATA_SUB
+        use_data_trf = sub_u[1] < P_DATA_SUB
+
+        # ---- data translation: resample the pixel from the WINDOW-sized
+        # patch of the detection density around the point, zero outside the
+        # cell (confinement) — the cell-local analog of the reference's
+        # DataDrivenTranslationKernel (``transform_kernels.py:61-116``)
+        win_pad = jnp.pad(win, MAX_DELTA)
+        wloc = jax.lax.dynamic_slice(
+            win_pad, (dwin_y, dwin_x), (WINDOW, WINDOW)
+        )
+        wsum = jnp.sum(wloc)
+        wprob = wloc / (wsum + EPS)
+        widx = jax.random.categorical(k_dtrl, _log(wprob).ravel())
+        ddi, ddj = widx // WINDOW, widx % WINDOW
+        new_wy = jnp.clip(dwin_y + ddi - MAX_DELTA, 0, CELL - 1)
+        new_wx = jnp.clip(dwin_x + ddj - MAX_DELTA, 0, CELL - 1)
+        djit = jax.random.uniform(k_djit, (3,))
+        d_trl_xy = jnp.stack(
+            [(y0 + new_wy).astype(jnp.float32) + djit[0],
+             (x0 + new_wx).astype(jnp.float32) + djit[1]]
+        )
+        d_trl_fwd = _log(wprob.ravel()[widx]) - _log(n_cell)
+        # backward: window centred at the NEW pixel, same cell clipping
+        wloc_b = jax.lax.dynamic_slice(
+            win_pad, (new_wy, new_wx), (WINDOW, WINDOW)
+        )
+        wprob_b = wloc_b / (jnp.sum(wloc_b) + EPS)
+        d_trl_back = (
+            _log(wprob_b[dwin_y - new_wy + MAX_DELTA,
+                         dwin_x - new_wx + MAX_DELTA])
+            - _log(n_cell)
+        )
+        d_trl_valid = wsum > 1e-12
+
+        # ---- data mark transform: resample ONE mark from its per-pixel
+        # shapenet distribution (``transform_kernels.py:163-225``); reuses
+        # the death section's row/class gathers at the point's pixel
+        row_d = drows[pid]
+        new_cls_d = jax.random.categorical(k_dtrf, _log(row_d))
+        step_d = (kd.map_vmax[pid] - kd.map_vmin[pid]) / n_classes
+        d_val = _class_to_value(kd, pid, new_cls_d) + djit[2] * step_d
+        d_trf_marks = state.marks[safe_slot].at[pid].set(d_val)
+        d_trf_fwd = _log(row_d[new_cls_d]) - _log(n_cell)
+        d_trf_back = _log(row_d[dcls[pid]]) - _log(n_cell)
+
+        pick_data_trl = use_data_trl & d_trl_valid
+        trl_xy = jnp.where(pick_data_trl, d_trl_xy, g_trl_xy)
+        trl_fwd = jnp.where(pick_data_trl, d_trl_fwd, g_trl_logp)
+        trl_back = jnp.where(pick_data_trl, d_trl_back, g_trl_logp)
+        # a data translation from a zero-density window is invalid -> noop
+        trl_ok = ~use_data_trl | d_trl_valid
+        trf_marks = jnp.where(use_data_trf, d_trf_marks, g_trf_marks)
+        trf_fwd = jnp.where(use_data_trf, d_trf_fwd, g_trf_logp)
+        trf_back = jnp.where(use_data_trf, d_trf_back, g_trf_logp)
+    else:
+        trl_xy, trl_fwd, trl_back = g_trl_xy, g_trl_logp, g_trl_logp
+        trf_marks, trf_fwd, trf_back = g_trf_marks, g_trf_logp, g_trf_logp
+        trl_ok = jnp.asarray(True)
 
     # ---- assemble
     birth_ok = cell_ok & free_ok & birth_valid
@@ -239,7 +322,11 @@ def _cell_proposal(key, state: PointsState, kd: KernelData, view: MapView,
     kind = jnp.where(
         is_birth,
         jnp.where(birth_ok, 1, 0),
-        jnp.where(pick_ok, jnp.where(is_death, 2, 3), 0),
+        jnp.where(
+            pick_ok,
+            jnp.where(is_death, 2, jnp.where(is_trl & ~trl_ok, 0, 3)),
+            0,
+        ),
     )
     slot = jnp.where(is_birth, free_slot, safe_slot)
     xy = jnp.where(
@@ -256,11 +343,11 @@ def _cell_proposal(key, state: PointsState, kd: KernelData, view: MapView,
     )
     log_fwd = jnp.where(
         is_birth, birth_fwd,
-        jnp.where(is_death, death_fwd, jnp.where(is_trl, trl_logp, trf_logp)),
+        jnp.where(is_death, death_fwd, jnp.where(is_trl, trl_fwd, trf_fwd)),
     )
     log_back = jnp.where(
         is_birth, birth_back,
-        jnp.where(is_death, death_back, jnp.where(is_trl, trl_logp, trf_logp)),
+        jnp.where(is_death, death_back, jnp.where(is_trl, trl_back, trf_back)),
     )
     return kind, slot, xy, marks, log_fwd, log_back
 
@@ -538,7 +625,8 @@ def _apply_batch(state: PointsState, cache: EnergyCache, spec: EnergySpec,
 def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
                        kd: KernelData, alpha_t: float, t_target: float,
                        n_cells: int, view: MapView = None, hw=None,
-                       axis_name: str = None, n_bands: int = 1):
+                       axis_name: str = None, n_bands: int = 1,
+                       data_moves: bool = True):
     """Superstep over ``n_cells`` x ``n_cells`` active cells.
 
     With ``axis_name`` set the step runs inside ``shard_map`` over ``n_bands``
@@ -592,7 +680,8 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
         keys = jax.random.split(k_cells, m)
         kinds, slots, xys, markss, log_fwds, log_backs = jax.vmap(
             lambda k, y0, x0, fs, fo: _cell_proposal(
-                k, state, kd, view, h, w, y0, x0, fs, fo
+                k, state, kd, view, h, w, y0, x0, fs, fo,
+                data_moves=data_moves,
             )
         )(keys, y0s, x0s, free_slots, free_oks)
 
@@ -644,18 +733,21 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "n_supersteps", "alpha_t", "t_target"),
+    static_argnames=("spec", "n_supersteps", "alpha_t", "t_target",
+                     "data_moves"),
 )
 def run_parallel_chain(key, init_state: PointsState, maps: EnergyMaps,
                        spec: EnergySpec, comb: EnergyCombiner, kd: KernelData,
                        n_supersteps: int, t0: float = 1.0,
-                       alpha_t: float = 0.999, t_target: float = 0.0
+                       alpha_t: float = 0.999, t_target: float = 0.0,
+                       data_moves: bool = True
                        ) -> Tuple[PointsState, ChainStats]:
     """Anneal with cell-parallel supersteps; one superstep proposes up to
     (H/(2*CELL)+1)^2 simultaneous moves."""
     h, w = kd.log_birth_density.shape
     n_cells = max(h, w) // (2 * CELL) + 1
-    step = make_parallel_step(maps, spec, comb, kd, alpha_t, t_target, n_cells)
+    step = make_parallel_step(maps, spec, comb, kd, alpha_t, t_target, n_cells,
+                              data_moves=data_moves)
     cache0 = build_cache(init_state, maps, spec)
     u0 = energy_from_cache(init_state, maps, spec, comb, cache0)
     keys = jax.random.split(key, n_supersteps)

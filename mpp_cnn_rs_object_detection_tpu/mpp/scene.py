@@ -130,7 +130,8 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                     segment_size: int = 4096,
                     max_segments: Optional[int] = None,
                     mesh=None, polish_steps: int = 0,
-                    restarts: int = 1) -> Optional[SceneResult]:
+                    restarts: int = 1, stopping=None,
+                    data_moves: bool = True) -> Optional[SceneResult]:
     """EXACT whole-scene MPP: one global cell-parallel chain over the full
     maps — no tiling, no ``merge_patch_results`` distance-dedup; optionally
     row-sharded over ``mesh`` with halo-exact cross-band pair energies
@@ -141,7 +142,24 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     lane key = ``fold_in(segment_key, lane)``) and keep the lowest final
     energy — a best-of-N quality knob the sequential CPU reference can't
     afford (its chains cost minutes each; here extra lanes ride the same
-    launch). Single-device only; ignored (with a warning) under a mesh."""
+    launch). Single-device only; ignored (with a warning) under a mesh.
+
+    ``stopping``: optional ``mpp.stopping.StoppingCondition`` evaluated on
+    the per-segment summaries BETWEEN annealing segments (the XLA-grain
+    analog of the reference's per-step stopping,
+    ``rjmcmc_sampler/stopping.py:10-146``). When set, every segment syncs to
+    the host for its summary; when None the segments dispatch
+    asynchronously (checkpoint pulls lag one segment) so the device never
+    idles on host I/O.
+
+    ``num_samples`` note: the annealed budget already includes the
+    reference's post-burn-in sampling steps (``RJMCMCParams.total_steps =
+    burn_in + (n_samples+1)*samples_interval``) and the returned state IS
+    the reference's product output — ``mpp_model.py:264`` keeps only the
+    LAST collected sample, which is the final state up to
+    ``samples_interval`` granularity. Intermediate samples are not
+    materialised here (the tiled path collects them); a loud log records
+    that when ``n_samples > 1``."""
     from mpp_cnn_rs_object_detection_tpu.mpp.parallel_sampler import CELL
     from mpp_cnn_rs_object_detection_tpu.parallel.sharded_scene import (
         run_exact_scene_chain,
@@ -262,6 +280,27 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     stats = None
     segments_run = 0
     seg_times = []
+    summaries = []
+    if params.n_samples > 1:
+        logging.info(
+            f"scene {data.name}: exact mode runs the full sampled budget "
+            f"({params.n_samples} samples x {params.resolved_interval}-move "
+            "interval included) but materialises only the final state — the "
+            "reference's product output is the LAST sample (mpp_model.py:264)"
+        )
+    # stopping needs per-segment host summaries; without it segments
+    # dispatch asynchronously and checkpoint pulls lag one segment, so the
+    # host writes checkpoint i while the device runs segment i+1
+    sync_each = stopping is not None
+
+    def _checkpoint(st, done_v, t0_v):
+        np.savez(
+            checkpoint_path, xy=np.asarray(st.xy), marks=np.asarray(st.marks),
+            alive=np.asarray(st.alive), done=done_v, t0=t0_v, seed=seed,
+            fingerprint=fingerprint,
+        )
+
+    pending_ck = None  # (state, done, t0) of the previous segment
     t_prep = time.perf_counter() - t_prep
     t_chain = time.perf_counter()
     while done < total_super:
@@ -273,6 +312,7 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                 seg_key, state, maps, setup.spec,
                 comb, kd, n_supersteps=n, t0=t0, alpha_t=alpha_super,
                 t_target=t_target, mesh=mesh, cache=cache,
+                data_moves=data_moves,
             )
         else:
             lane_keys = jax.vmap(
@@ -283,31 +323,68 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                 return run_exact_scene_chain(
                     k, st, maps, setup.spec, comb, kd, n_supersteps=n,
                     t0=t0, alpha_t=alpha_super, t_target=t_target,
-                    mesh=None, cache=ca,
+                    mesh=None, cache=ca, data_moves=data_moves,
                 )
 
             if cache is None:
                 state, cache, stats = jax.vmap(_one)(lane_keys, state)
             else:
                 state, cache, stats = jax.vmap(_one)(lane_keys, state, cache)
-        jax.block_until_ready(stats.final_energy)
-        seg_times.append(time.perf_counter() - t_seg)
         done += n
         t0 = max(float(t0 * alpha_super**n), t_target)
         segments_run += 1
-        if checkpoint_path and done < total_super:
-            np.savez(
-                checkpoint_path, xy=np.asarray(state.xy),
-                marks=np.asarray(state.marks), alive=np.asarray(state.alive),
-                done=done, t0=t0, seed=seed, fingerprint=fingerprint,
+        stop_now = False
+        if sync_each:
+            jax.block_until_ready(stats.final_energy)
+            seg_times.append(time.perf_counter() - t_seg)
+            from mpp_cnn_rs_object_detection_tpu.mpp.stopping import (
+                SegmentSummary,
             )
+
+            acc = float(np.sum(np.asarray(stats.accepted)))
+            nprop = float(np.sum(np.asarray(stats.proposed)))
+            summaries.append(SegmentSummary(
+                iter=done * mps,
+                energy=float(np.mean(np.asarray(stats.final_energy))),
+                n_points=int(np.max(np.asarray(stats.final_n_points))),
+                temperature=t0,
+                accept_rate=acc / max(nprop, 1.0),
+                seconds=seg_times[-1],
+            ))
+            stop_now = done < total_super and stopping.do_stop(summaries)
+        else:
+            # async device->host pulls: materialising these arrays for the
+            # checkpoint write below blocks only on THIS segment's results
+            # while the next segment already runs
+            for leaf in jax.tree_util.tree_leaves(state):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
+            seg_times.append(time.perf_counter() - t_seg)
+        if checkpoint_path and done < total_super and not stop_now:
+            if sync_each:
+                _checkpoint(state, done, t0)
+            else:
+                if pending_ck is not None:
+                    _checkpoint(*pending_ck)
+                pending_ck = (state, done, t0)
             maybe_yield_device(f"scene {data.name} segment {segments_run}")
+        if stop_now:
+            s = summaries[-1]
+            logging.info(
+                f"scene {data.name}: stopping fired at superstep "
+                f"{done}/{total_super} (E={s.energy:.2f} "
+                f"acc={s.accept_rate:.4f} T={s.temperature:.4g})"
+            )
+            break
         if (
             max_segments is not None
             and segments_run >= max_segments
             and done < total_super
         ):
+            if not sync_each and checkpoint_path:
+                _checkpoint(state, done, t0)  # latest, not the lagging one
             return None  # simulated crash mid-anneal
+    jax.block_until_ready(stats.final_energy)
     if checkpoint_path and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
 
@@ -351,13 +428,15 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     alive = np.asarray(state.alive)
     seg_detail = ""
     if seg_times:
-        # first-launch time is compile unless the executable was cached
+        # sync mode: first-launch time is compile unless the executable was
+        # cached; async mode: these are dispatch times (device overlaps)
+        kind_s = "sync" if sync_each else "dispatch"
         seg_detail = (
-            f" (first={seg_times[0]:.1f}s "
+            f" ({kind_s} first={seg_times[0]:.1f}s "
             f"median={float(np.median(seg_times)):.1f}s x{len(seg_times)})"
         )
     logging.info(
-        f"scene {data.name}: exact chain {total_super} supersteps x ~{mps} "
+        f"scene {data.name}: exact chain {done} supersteps x ~{mps} "
         f"cells (K={cap}, {n_dev} device(s)) -> {len(xy)} detections "
         f"[prep={t_prep:.1f}s segments={t_chain:.1f}s{seg_detail} "
         f"papangelou={time.perf_counter() - t_score:.1f}s]"
@@ -378,7 +457,7 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
         marks=marks_np[keep],
         scores=scores_np[keep],
         n_tiles=n_dev,
-        total_moves=total_super * mps,
+        total_moves=done * mps,
     )
 
 
@@ -394,7 +473,8 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                      max_segments: Optional[int] = None,
                      max_tiles_per_launch: int = 12,
                      mesh=None, polish_steps: int = 0,
-                     restarts: int = 1) -> Optional[SceneResult]:
+                     restarts: int = 1, stopping=None,
+                     data_moves: bool = True) -> Optional[SceneResult]:
     """Full-scene MPP inference (reference ``mpp_model.py:202-321`` infer body).
 
     ``checkpoint_path``: optional ``.npz`` the sequential sampler writes after
@@ -424,7 +504,12 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
             init=init, kernel_weights=kernel_weights,
             checkpoint_path=checkpoint_path, segment_size=segment_size,
             max_segments=max_segments, mesh=mesh, polish_steps=polish_steps,
-            restarts=restarts,
+            restarts=restarts, stopping=stopping, data_moves=data_moves,
+        )
+    if stopping is not None:
+        logging.warning(
+            "stopping conditions are evaluated on exact-scene segments only; "
+            "ignored in tiled mode"
         )
     data = pad_image_w_maps(data, patch_size)
     patches = split_image(data, patch_size, min_overlap)
@@ -503,6 +588,7 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                 key, st, maps, spec, comb, kd,
                 n_supersteps=n_steps, t0=t0,
                 alpha_t=alpha_super, t_target=t_target,
+                data_moves=data_moves,
             )
             scores = papangelou(final, maps, spec, comb)
             empty = jnp.zeros((0,), jnp.int32)
@@ -757,7 +843,8 @@ def run_exact_scenes_batched(
     params: RJMCMCParams, seeds: List[int], capacity: int = 256,
     init: str = "naive", kernel_weights=None,
     checkpoint_path: Optional[str] = None, segment_size: int = 4096,
-    polish_steps: int = 0, mesh=None,
+    polish_steps: int = 0, mesh=None, stopping=None,
+    data_moves: bool = True,
 ) -> List[SceneResult]:
     """EXACT whole-scene MPP over a BATCH of scenes in one device program.
 
@@ -903,6 +990,17 @@ def run_exact_scenes_batched(
     cache = None
     stats = None
     seg_times = []
+    summaries = []
+    sync_each = stopping is not None  # joint stop over the whole batch
+
+    def _checkpoint(st, done_v, t0_v):
+        np.savez(
+            checkpoint_path, xy=np.asarray(st.xy),
+            marks=np.asarray(st.marks), alive=np.asarray(st.alive),
+            done=done_v, t0=t0_v, fingerprint=fingerprint,
+        )
+
+    pending_ck = None
     t_prep = time.perf_counter() - t_prep
     t_chain = time.perf_counter()
     while done < total_super:
@@ -918,7 +1016,7 @@ def run_exact_scenes_batched(
             return run_exact_scene_chain(
                 k, st, mp, spec, comb, kd_, n_supersteps=n,
                 t0=t0, alpha_t=alpha_super, t_target=t_target,
-                mesh=None, cache=ca,
+                mesh=None, cache=ca, data_moves=data_moves,
             )
 
         if cache is None:
@@ -929,18 +1027,47 @@ def run_exact_scenes_batched(
             state, cache, stats = jax.vmap(_one)(
                 seg_keys, state, maps_b, kd_b, cache
             )
-        jax.block_until_ready(stats.final_energy)
-        seg_times.append(time.perf_counter() - t_seg)
         done += n
         t0 = max(float(t0 * alpha_super**n), t_target)
-        if checkpoint_path and done < total_super:
-            np.savez(
-                checkpoint_path, xy=np.asarray(state.xy),
-                marks=np.asarray(state.marks),
-                alive=np.asarray(state.alive),
-                done=done, t0=t0, fingerprint=fingerprint,
+        stop_now = False
+        if sync_each:
+            jax.block_until_ready(stats.final_energy)
+            seg_times.append(time.perf_counter() - t_seg)
+            from mpp_cnn_rs_object_detection_tpu.mpp.stopping import (
+                SegmentSummary,
             )
+
+            acc = float(np.sum(np.asarray(stats.accepted)))
+            nprop = float(np.sum(np.asarray(stats.proposed)))
+            summaries.append(SegmentSummary(
+                iter=done * mps,
+                energy=float(np.mean(np.asarray(stats.final_energy))),
+                n_points=int(np.max(np.asarray(stats.final_n_points))),
+                temperature=t0,
+                accept_rate=acc / max(nprop, 1.0),
+                seconds=seg_times[-1],
+            ))
+            stop_now = done < total_super and stopping.do_stop(summaries)
+        else:
+            for leaf in jax.tree_util.tree_leaves(state):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
+            seg_times.append(time.perf_counter() - t_seg)
+        if checkpoint_path and done < total_super and not stop_now:
+            if sync_each:
+                _checkpoint(state, done, t0)
+            else:
+                if pending_ck is not None:
+                    _checkpoint(*pending_ck)
+                pending_ck = (state, done, t0)
             maybe_yield_device(f"batched scenes superstep {done}")
+        if stop_now:
+            logging.info(
+                f"batched scenes: stopping fired at superstep "
+                f"{done}/{total_super}"
+            )
+            break
+    jax.block_until_ready(stats.final_energy)
     if checkpoint_path and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
     t_chain = time.perf_counter() - t_chain
@@ -980,7 +1107,7 @@ def run_exact_scenes_batched(
             SceneResult(
                 centers=centers_np[keep], marks=marks_np[keep],
                 scores=scores_np[keep], n_tiles=1,
-                total_moves=total_super * mps,
+                total_moves=done * mps,
             )
         )
     seg_detail = ""
@@ -990,7 +1117,7 @@ def run_exact_scenes_batched(
             f"median={float(np.median(seg_times)):.1f}s x{len(seg_times)})"
         )
     logging.info(
-        f"batched scenes x{len(datas)}: exact chains {total_super} "
+        f"batched scenes x{len(datas)}: exact chains {done} "
         f"supersteps x ~{mps} cells each (K={cap}) "
         f"[prep={t_prep:.1f}s segments={t_chain:.1f}s{seg_detail} "
         f"papangelou={time.perf_counter() - t_score:.1f}s]"

@@ -124,6 +124,32 @@ class CustomStopping(StoppingCondition):
         return self.fn(summaries)
 
 
+def stopping_from_config(cfg) -> Optional[StoppingCondition]:
+    """Build a StoppingCondition from the ``rjmcmc_params.stopping`` config
+    block (the product analog of the reference's stopping-condition wiring,
+    ``models/mpp/rjmcmc_sampler/stopping.py:10-146`` + ``sample_rjmcmc.py``).
+
+    Accepts a dict ``{"kind": ..., **params}`` or a list of such dicts
+    (combined with ``CompositeStopping(mode='any')``). Kinds: ``max_iter``,
+    ``rejects``, ``delta_u``, ``approval_rate``. Iteration counts are in
+    MOVES (the segmented drivers convert their superstep counts). Returns
+    None for a falsy config."""
+    if not cfg:
+        return None
+    if isinstance(cfg, (list, tuple)):
+        conds = [stopping_from_config(c) for c in cfg]
+        return CompositeStopping(conditions=[c for c in conds if c], mode="any")
+    kinds = {
+        "max_iter": StopOnMaxIter,
+        "rejects": StopOnRejects,
+        "delta_u": StopOnDeltaU,
+        "approval_rate": StopOnApprovalRate,
+    }
+    params = dict(cfg)
+    kind = params.pop("kind")
+    return kinds[kind](**params)
+
+
 def run_chain_segmented(key, init_state: PointsState, maps: EnergyMaps,
                         spec: EnergySpec, comb: EnergyCombiner, kd: KernelData,
                         stopping: StoppingCondition, segment: int = 2000,

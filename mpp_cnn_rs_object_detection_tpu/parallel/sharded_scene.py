@@ -79,13 +79,14 @@ def _scalars_only_kd(kd: KernelData) -> KernelData:
 @partial(
     jax.jit,
     static_argnames=("spec", "n_supersteps", "alpha_t", "t_target",
-                     "mesh", "hw"),
+                     "mesh", "hw", "data_moves"),
 )
 def _sharded_chain(key, init_state: PointsState, cache0: EnergyCache,
                    u0, position, mark_maps, density, mark_dists,
                    maps_sc: EnergyMaps, kd_sc: KernelData, spec: EnergySpec,
                    comb: EnergyCombiner, n_supersteps: int, t0: float,
-                   alpha_t: float, t_target: float, mesh: Mesh, hw):
+                   alpha_t: float, t_target: float, mesh: Mesh, hw,
+                   data_moves: bool = True):
     h, w = hw
     n = mesh.devices.size
     n_cells = max(h, w) // (2 * CELL) + 1
@@ -114,6 +115,7 @@ def _sharded_chain(key, init_state: PointsState, cache0: EnergyCache,
         step = make_parallel_step(
             maps_in, spec, comb_in, kd_in, alpha_t, t_target, n_cells,
             view=view, hw=(h, w), axis_name=AXIS, n_bands=n,
+            data_moves=data_moves,
         )
         keys = jax.random.split(key_in, n_supersteps)
         (state, cache, energy, temp), (acc, prop) = jax.lax.scan(
@@ -146,10 +148,11 @@ def _sharded_chain(key, init_state: PointsState, cache0: EnergyCache,
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "n_supersteps", "alpha_t", "t_target"),
+    static_argnames=("spec", "n_supersteps", "alpha_t", "t_target",
+                     "data_moves"),
 )
 def _local_chain(key, init_state, cache0, u0, maps, kd, spec, comb,
-                 n_supersteps, t0, alpha_t, t_target):
+                 n_supersteps, t0, alpha_t, t_target, data_moves=True):
     """Single-device whole-scene chain (the mesh=None path), same key
     schedule as the sharded body."""
     from mpp_cnn_rs_object_detection_tpu.mpp.parallel_sampler import (
@@ -160,7 +163,7 @@ def _local_chain(key, init_state, cache0, u0, maps, kd, spec, comb,
     n_cells = max(h, w) // (2 * CELL) + 1
     step = make_parallel_step(
         maps, spec, comb, kd, alpha_t, t_target, n_cells,
-        view=make_local_view(kd, maps), hw=(h, w),
+        view=make_local_view(kd, maps), hw=(h, w), data_moves=data_moves,
     )
     keys = jax.random.split(key, n_supersteps)
     (state, cache, energy, temp), (acc, prop) = jax.lax.scan(
@@ -175,6 +178,7 @@ def run_exact_scene_chain(key, init_state: PointsState, maps: EnergyMaps,
                           alpha_t: float = 0.999, t_target: float = 0.0,
                           mesh: Optional[Mesh] = None,
                           cache: Optional[EnergyCache] = None,
+                          data_moves: bool = True,
                           ) -> Tuple[PointsState, EnergyCache, ChainStats]:
     """Run (a segment of) the exact whole-scene chain, optionally sharded.
 
@@ -190,7 +194,7 @@ def run_exact_scene_chain(key, init_state: PointsState, maps: EnergyMaps,
     if mesh is None or mesh.devices.size == 1:
         state, cache, energy, temp, acc, prop = _local_chain(
             key, init_state, cache, u0, maps, kd, spec, comb,
-            n_supersteps, t0, alpha_t, t_target,
+            n_supersteps, t0, alpha_t, t_target, data_moves=data_moves,
         )
         n_kernels = kd.p_kernels.shape[0]
         stats = ChainStats(
@@ -226,5 +230,6 @@ def run_exact_scene_chain(key, init_state: PointsState, maps: EnergyMaps,
         key, init_state, cache, u0, position, mark_maps, density, mark_dists,
         _scalars_only_maps(maps), _scalars_only_kd(kd), spec, comb,
         n_supersteps, t0, alpha_t, t_target, mesh, (h, w),
+        data_moves=data_moves,
     )
     return state, cache, stats

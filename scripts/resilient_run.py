@@ -114,7 +114,12 @@ def main(argv):
             argv = yield_resume_argv(argv)
             attempt -= 1
             continue
-        print(f"[resilient_run] exited {r.returncode}; retrying", flush=True)
+        # crash retries must RESUME too: keeping -o would restart inference
+        # from image 0 every attempt, defeating the per-image/per-segment
+        # resumability this wrapper exists for (and burning deadline)
+        argv = yield_resume_argv(argv)
+        print(f"[resilient_run] exited {r.returncode}; retrying (resume)",
+              flush=True)
         time.sleep(30.0)
     return 1
 

@@ -190,6 +190,47 @@ def test_combiner_roundtrip(tmp_path, setup):
     )
 
 
+def test_logistic_formula_and_v1_migration():
+    """The logistic combiner applies its scalar bias ONCE (reference
+    ``combination/logistic.py:14-69``); v1 combiner files (rounds <= 3
+    summed the bias per column) are migrated on load so trained artifacts
+    keep their exact behavior."""
+    names = LEGACY_SPEC.names
+    comb = comb_lib.logistic(names)
+    comb = comb.replace(
+        params={
+            "weights": jnp.arange(1.0, len(names) + 1.0),
+            "bias": jnp.asarray(0.7, jnp.float32),
+        }
+    )
+    vec = jnp.array(np.random.default_rng(1).normal(size=(4, len(names))),
+                    jnp.float32)
+    got = np.asarray(comb_lib.combine(comb, vec))
+    w = np.arange(1.0, len(names) + 1.0)
+    expected = 2.0 / (1.0 + np.exp(-(np.asarray(vec) @ w + 0.7))) - 1.0
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+    # a v1 dict (no "version") reproduces the old n-x-bias behavior
+    v1 = {
+        "kind": "logistic", "names": list(names), "indicator": 0,
+        "params": {"weights": w.tolist(), "bias": 0.7},
+    }
+    migrated = comb_lib.combiner_from_dict(v1)
+    old_formula = 2.0 / (
+        1.0 + np.exp(-(np.asarray(vec) @ w + 0.7 * len(names)))
+    ) - 1.0
+    np.testing.assert_allclose(
+        np.asarray(comb_lib.combine(migrated, vec)), old_formula, rtol=1e-5
+    )
+    # a v2 round-trip is the identity
+    v2 = comb_lib.combiner_to_dict(comb)
+    assert v2["version"] >= 2
+    np.testing.assert_allclose(
+        np.asarray(comb_lib.combine(comb_lib.combiner_from_dict(v2), vec)),
+        got, rtol=1e-6,
+    )
+
+
 def test_papangelou(setup):
     maps, _, _, _, _ = setup
     comb = comb_lib.sum_combiner(LEGACY_SPEC.names)

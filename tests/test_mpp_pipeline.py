@@ -218,6 +218,41 @@ def test_stale_cnn_results_are_regenerated(workspace):
     assert os.path.getmtime(pkl) > mt0 - 3600 + 1
 
 
+def test_mpp_exact_infer_config_stopping(workspace, caplog):
+    """Config-driven early stop through ``MPPModel.infer``: an
+    ``rjmcmc_params.stopping`` block is evaluated between exact-scene
+    annealing segments (reference ``rjmcmc_sampler/stopping.py`` wiring)."""
+    import logging
+
+    from mpp_cnn_rs_object_detection_tpu.mpp.mpp_model import MPPModel
+
+    cfg = _mpp_config(
+        "mpp_mstop",
+        {
+            "manual": {
+                "threshold": 0.0,
+                "Data": 0.5, "Prior": 0.5,
+                "PositionEnergy": 0.8, "ShapeEnergy": 0.2,
+                "RectangleOverlapEnergy": 0.6, "ShapeAlignmentEnergy": 0.05,
+                "AreaPriorEnergy": 0.2,
+            }
+        },
+    )
+    cfg["inference"]["scene_mode"] = "exact"
+    cfg["inference"]["segment_size"] = 24
+    # accept_rate <= 1.0 always holds -> fires right after the first segment,
+    # proving the wiring without depending on chain convergence
+    cfg["inference"]["rjmcmc_params"]["stopping"] = {
+        "kind": "approval_rate", "target_rate": 1.0, "min_iter": 0,
+    }
+    model = MPPModel(cfg, phase="train", overwrite=True)
+    model.train()
+    model2 = MPPModel(cfg, load=True)
+    with caplog.at_level(logging.INFO):
+        model2.infer(subset="val", overwrite=True)
+    assert any("stopping fired" in r.message for r in caplog.records)
+
+
 def test_mpp_batched_exact_infer(workspace):
     """CLI-level batched exact inference: batch_scenes stacks the val scenes
     into one vmapped chain program and the per-scene post/export stage

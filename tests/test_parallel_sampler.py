@@ -95,13 +95,60 @@ def test_parallel_matches_sequential_equilibrium():
     e_seq = float(seq_stats.final_energy)
     e_par = float(par_stats.final_energy)
     assert e_par < 0 and e_seq < 0
-    # same order of magnitude of fit quality (both find the 5 objects; with
-    # continuous sub-pixel positions the annealed point count on this
-    # deliberately permissive manual energy is noisier than the old
-    # pixel-grid chains, so parity is asserted on energy + a loose count band)
+    # same order of magnitude of fit quality; count parity is asserted on
+    # DISTINCT detections (>3 px apart): this deliberately permissive manual
+    # energy makes stacking near-coincident points on a blob favorable, and
+    # the data-driven moves are good enough at minimising it to find that
+    # degenerate optimum — raw counts then measure kernel efficiency, not
+    # the posterior
     assert e_par <= 0.5 * e_seq, (e_par, e_seq)
-    assert abs(int(seq_final.n_points) - int(par_final.n_points)) <= 5
-    assert int(par_final.n_points) >= 5
+
+    def n_distinct(final):
+        xy, _ = state_to_arrays(final)
+        kept = []
+        for p in xy:
+            if all(np.hypot(*(p - q)) > 3 for q in kept):
+                kept.append(p)
+        return len(kept)
+
+    nd_seq, nd_par = n_distinct(seq_final), n_distinct(par_final)
+    assert abs(nd_seq - nd_par) <= 2, (nd_seq, nd_par)
+    assert nd_par >= 4
+
+
+def test_data_moves_equilibrium_and_confinement():
+    """The data-driven translation/mark-transform mixture (reference
+    ``transform_kernels.py:61-225`` at 2:1 weighting) must reach an
+    equilibrium at least as good as the gaussian-only superstep on the same
+    posterior, keep the bookkept energy exact, and keep every point inside
+    the image (moves are cell-confined)."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.energies import total_energy
+
+    maps, kd, comb, det, centers = _setup()
+    final_d, stats_d = run_parallel_chain(
+        jax.random.PRNGKey(7), empty_state(32), maps, LEGACY_SPEC, comb, kd,
+        n_supersteps=1500, alpha_t=0.9968, data_moves=True,
+    )
+    final_g, stats_g = run_parallel_chain(
+        jax.random.PRNGKey(7), empty_state(32), maps, LEGACY_SPEC, comb, kd,
+        n_supersteps=1500, alpha_t=0.9968, data_moves=False,
+    )
+    e_d, e_g = float(stats_d.final_energy), float(stats_g.final_energy)
+    assert e_d < 0 and e_g < 0
+    # same posterior, same budget: the data mixture should not be worse
+    # than gaussian-only by more than annealing noise
+    assert e_d <= 0.5 * e_g, (e_d, e_g)
+    # bookkept energy stays exact under the new kernels
+    u_fresh = float(total_energy(final_d, maps, LEGACY_SPEC, comb))
+    np.testing.assert_allclose(e_d, u_fresh, rtol=1e-3, atol=1e-3)
+    # confinement: every alive point inside the image
+    xy, _ = state_to_arrays(final_d)
+    assert len(xy) >= 3
+    assert (xy[:, 0] >= 0).all() and (xy[:, 0] <= H - 1).all()
+    assert (xy[:, 1] >= 0).all() and (xy[:, 1] <= W - 1).all()
+    # and on-detection (the data moves pull points onto blobs)
+    on_blob = sum(det[int(p[0]), int(p[1])] > 0.3 for p in xy)
+    assert on_blob >= len(xy) - 1, f"{on_blob}/{len(xy)} on detections"
 
 
 def test_superstep_deltas_exact_vs_bruteforce():
