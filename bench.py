@@ -29,7 +29,7 @@ _PROBE = (
 )
 
 
-def wait_for_device(max_wait_s: float = 540.0) -> bool:
+def wait_for_device(max_wait_s: float = 900.0) -> bool:
     """Block until a fresh process can run a jitted op.
 
     The axon TPU worker needs ~10-15 min to come back after a fault and a

@@ -384,6 +384,10 @@ class MPPModel(BaseModel):
         # the reference's 2:1 weighting by default (make_kernels.py:113-137);
         # False restores the round-3 gaussian-only superstep for A/B runs
         data_moves = bool(rj_cfg.get("superstep_data_moves", True))
+        # one global move type per superstep (lax.switch executes a single
+        # branch — the dispatch-bound superstep's biggest op-count lever);
+        # same statistical mixture, different chains
+        move_switch = bool(rj_cfg.get("superstep_move_switch", False))
 
         # batched exact mode: all pending scenes share one shape-bucketed
         # program signature, so their chains run as ONE vmapped launch
@@ -435,6 +439,7 @@ class MPPModel(BaseModel):
                     stopping=make_stopping(),
                     segment_size=segment_size,
                     data_moves=data_moves,
+                    move_switch=move_switch,
                 )
                 batch_results = dict(zip(pending, results))
                 batch_datas = dict(zip(pending, datas))
@@ -508,6 +513,7 @@ class MPPModel(BaseModel):
                     mesh=mesh,
                     stopping=make_stopping(),
                     data_moves=data_moves,
+                    move_switch=move_switch,
                 )
             t_chain = time.perf_counter() - t_stage
             t_stage = time.perf_counter()

@@ -352,6 +352,220 @@ def _cell_proposal(key, state: PointsState, kd: KernelData, view: MapView,
     return kind, slot, xy, marks, log_fwd, log_back
 
 
+def _type_probs(data_moves: bool) -> np.ndarray:
+    """Global move-type mixture for the switched superstep: birth, death,
+    gaussian-trl, data-trl, gaussian-trf, data-trf. Same marginals as the
+    per-cell draws (data moves at the reference's 2:1 weighting)."""
+    if data_moves:
+        return np.array([
+            P_BIRTH, P_DEATH,
+            P_TRL * (1 - P_DATA_SUB), P_TRL * P_DATA_SUB,
+            P_TRF * (1 - P_DATA_SUB), P_TRF * P_DATA_SUB,
+        ])
+    return np.array([P_BIRTH, P_DEATH, P_TRL, 0.0, P_TRF, 0.0])
+
+
+def _cell_proposal_switched(key, move_type, state: PointsState,
+                            kd: KernelData, view: MapView, h: int, w: int,
+                            y0: Array, x0: Array, free_slot: Array,
+                            free_ok: Array):
+    """One MH proposal confined to the cell, with the MOVE TYPE drawn once
+    per superstep (a scalar shared by all cells) instead of per cell.
+
+    Statistically this is the same mixture: a superstep is now one of six
+    composite kernels (all-birth, all-death, ...), each a product of
+    non-interacting per-cell kernels, mixed with ``_type_probs`` — each
+    composite satisfies detailed balance with its reverse type, and the
+    per-cell Green ratios below carry the exact same P(type) factors as the
+    per-cell-draw variant. The payoff is compute: ``lax.switch`` executes
+    ONE branch per superstep, where the per-cell draw traced every move
+    family for every cell — the superstep is dispatch-bound on this
+    hardware (~15 us/op, HBM util ~1%), so dead branches were the single
+    largest cost."""
+    (k_slot, k_pos, k_marks, k_delta, k_param,
+     k_sub, k_data) = jax.random.split(key, 7)
+
+    # ---- common prelude (every branch needs the cell extent + slot draw)
+    ylo = jnp.clip(y0, 0, h)
+    xlo = jnp.clip(x0, 0, w)
+    yhi = jnp.clip(y0 + CELL, 0, h)
+    xhi = jnp.clip(x0 + CELL, 0, w)
+    area = jnp.maximum((yhi - ylo) * (xhi - xlo), 0).astype(jnp.float32)
+    cell_ok = area > 0
+    in_cell = (
+        state.alive
+        & (state.xy[:, 0] >= ylo) & (state.xy[:, 0] < yhi)
+        & (state.xy[:, 1] >= xlo) & (state.xy[:, 1] < xhi)
+    )
+    n_cell = jnp.sum(in_cell).astype(jnp.float32)
+    logits = jnp.where(in_cell, 0.0, -jnp.inf)
+    cell_slot = jnp.where(
+        n_cell > 0, jax.random.categorical(k_slot, logits), -1
+    )
+    safe_slot = jnp.maximum(cell_slot, 0)
+    pick_ok = cell_slot >= 0
+    lam_cell = kd.intensity * area / float(h * w)
+    win = jax.lax.dynamic_slice(
+        view.cell_density, (y0 - view.row0_cd, x0 + CELL), (CELL, CELL)
+    )
+    win_sum = jnp.sum(win)
+    win_prob = win / (win_sum + EPS)
+    n_classes = view.mark_dists.shape[-1]
+    cur_xy = state.xy[safe_slot]
+    cur_marks = state.marks[safe_slot]
+
+    def _point_pixel():
+        dyi = jnp.clip(cur_xy[0].astype(jnp.int32), 0, h - 1)
+        dxi = jnp.clip(cur_xy[1].astype(jnp.int32), 0, w - 1)
+        dyi_l = jnp.clip(dyi - view.row0_md, 0, view.mark_dists.shape[1] - 1)
+        return dyi, dxi, dyi_l
+
+    def birth(_):
+        cell_idx = jax.random.categorical(k_pos, _log(win_prob).ravel())
+        jitter = jax.random.uniform(k_sub, (5,))
+        py = (y0 + cell_idx // CELL).astype(jnp.float32) + jitter[0]
+        px = (x0 + cell_idx % CELL).astype(jnp.float32) + jitter[1]
+        byi = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+        bxi = jnp.clip(px.astype(jnp.int32), 0, w - 1)
+        byi_l = jnp.clip(byi - view.row0_md, 0, view.mark_dists.shape[1] - 1)
+        rows = view.mark_dists[:, byi_l, bxi, :]
+        mkeys = jax.random.split(k_marks, 3)
+        cls = jnp.stack([
+            jax.random.categorical(mkeys[m], _log(rows[m])) for m in range(3)
+        ])
+        steps_b = (kd.map_vmax - kd.map_vmin) / n_classes
+        marks = jnp.stack([
+            _class_to_value(kd, m, cls[m]) + jitter[2 + m] * steps_b[m]
+            for m in range(3)
+        ])
+        log_q = (
+            _log(win_prob.ravel()[cell_idx]) + _log(area)
+            + sum(_log(rows[m][cls[m]]) for m in range(3))
+            + 3 * jnp.log(float(n_classes))
+        )
+        fwd = _log(jnp.asarray(P_BIRTH)) + log_q - _log(lam_cell)
+        back = _log(jnp.asarray(P_DEATH)) - _log(n_cell + 1.0)
+        ok = cell_ok & free_ok & (win_sum > 1e-12)
+        return (jnp.where(ok, 1, 0).astype(jnp.int32), free_slot,
+                jnp.stack([py, px]), marks, fwd, back)
+
+    def death(_):
+        from mpp_cnn_rs_object_detection_tpu.mpp.kernels import (
+            _value_to_class,
+        )
+
+        dyi, dxi, dyi_l = _point_pixel()
+        drows = view.mark_dists[:, dyi_l, dxi, :]
+        dcls = jnp.stack([
+            _value_to_class(kd, m, cur_marks[m]) for m in range(3)
+        ])
+        dwin_y = jnp.clip(dyi - y0, 0, CELL - 1)
+        dwin_x = jnp.clip(dxi - x0, 0, CELL - 1)
+        fwd = _log(jnp.asarray(P_DEATH)) - _log(n_cell)
+        log_q = (
+            _log(win_prob[dwin_y, dwin_x]) + _log(area)
+            + sum(_log(drows[m][dcls[m]]) for m in range(3))
+            + 3 * jnp.log(float(n_classes))
+        )
+        back = _log(jnp.asarray(P_BIRTH)) + log_q - _log(lam_cell)
+        return (jnp.where(pick_ok, 2, 0).astype(jnp.int32), safe_slot,
+                cur_xy, cur_marks, fwd, back)
+
+    def gauss_trl(_):
+        delta = kd.sigma_trl * jax.random.normal(k_delta, (2,))
+        xy = jnp.clip(
+            cur_xy + delta,
+            jnp.stack([ylo, xlo]).astype(jnp.float32),
+            jnp.stack([yhi - 1, xhi - 1]).astype(jnp.float32),
+        )
+        logp = jnp.sum(_normal_logpdf(delta, kd.sigma_trl)) - _log(n_cell)
+        return (jnp.where(pick_ok, 3, 0).astype(jnp.int32), safe_slot, xy,
+                cur_marks, logp, logp)
+
+    def data_trl(_):
+        from mpp_cnn_rs_object_detection_tpu.mpp.kernels import (
+            MAX_DELTA,
+            WINDOW,
+        )
+
+        dyi, dxi, _ = _point_pixel()
+        dwin_y = jnp.clip(dyi - y0, 0, CELL - 1)
+        dwin_x = jnp.clip(dxi - x0, 0, CELL - 1)
+        win_pad = jnp.pad(win, MAX_DELTA)
+        wloc = jax.lax.dynamic_slice(
+            win_pad, (dwin_y, dwin_x), (WINDOW, WINDOW)
+        )
+        wsum = jnp.sum(wloc)
+        wprob = wloc / (wsum + EPS)
+        widx = jax.random.categorical(k_data, _log(wprob).ravel())
+        ddi, ddj = widx // WINDOW, widx % WINDOW
+        new_wy = jnp.clip(dwin_y + ddi - MAX_DELTA, 0, CELL - 1)
+        new_wx = jnp.clip(dwin_x + ddj - MAX_DELTA, 0, CELL - 1)
+        djit = jax.random.uniform(k_sub, (2,))
+        xy = jnp.stack([
+            (y0 + new_wy).astype(jnp.float32) + djit[0],
+            (x0 + new_wx).astype(jnp.float32) + djit[1],
+        ])
+        fwd = _log(wprob.ravel()[widx]) - _log(n_cell)
+        wloc_b = jax.lax.dynamic_slice(
+            win_pad, (new_wy, new_wx), (WINDOW, WINDOW)
+        )
+        wprob_b = wloc_b / (jnp.sum(wloc_b) + EPS)
+        back = (
+            _log(wprob_b[dwin_y - new_wy + MAX_DELTA,
+                         dwin_x - new_wx + MAX_DELTA])
+            - _log(n_cell)
+        )
+        ok = pick_ok & (wsum > 1e-12)
+        return (jnp.where(ok, 3, 0).astype(jnp.int32), safe_slot, xy,
+                cur_marks, fwd, back)
+
+    def gauss_trf(_):
+        pid = jax.random.randint(k_param, (), 0, 3)
+        sigma = kd.sigma_trf[pid]
+        mdelta = sigma * jax.random.normal(k_delta)
+        old = cur_marks[pid]
+        rng_ = kd.map_vmax[pid] - kd.map_vmin[pid]
+        new_val = jnp.where(
+            kd.map_cyclic[pid],
+            ((old + mdelta) % rng_) + kd.map_vmin[pid],
+            jnp.clip(old + mdelta, kd.map_vmin[pid], kd.map_vmax[pid]),
+        )
+        marks = cur_marks.at[pid].set(new_val)
+        logp = _normal_logpdf(mdelta, sigma) - _log(n_cell)
+        return (jnp.where(pick_ok, 3, 0).astype(jnp.int32), safe_slot,
+                cur_xy, marks, logp, logp)
+
+    def data_trf(_):
+        from mpp_cnn_rs_object_detection_tpu.mpp.kernels import (
+            _value_to_class,
+        )
+
+        pid = jax.random.randint(k_param, (), 0, 3)
+        dyi, dxi, dyi_l = _point_pixel()
+        row = view.mark_dists[pid, dyi_l, dxi, :]
+        new_cls = jax.random.categorical(k_data, _log(row))
+        step_t = (kd.map_vmax[pid] - kd.map_vmin[pid]) / n_classes
+        new_val = (
+            _class_to_value(kd, pid, new_cls)
+            + jax.random.uniform(k_sub) * step_t
+        )
+        old_cls = _value_to_class(kd, pid, cur_marks[pid])
+        marks = cur_marks.at[pid].set(new_val)
+        fwd = _log(row[new_cls]) - _log(n_cell)
+        back = _log(row[old_cls]) - _log(n_cell)
+        return (jnp.where(pick_ok, 3, 0).astype(jnp.int32), safe_slot,
+                cur_xy, marks, fwd, back)
+
+    kind, slot, xy, marks, fwd, back = jax.lax.switch(
+        move_type, [birth, death, gauss_trl, data_trl, gauss_trf, data_trf],
+        0,
+    )
+    # guard the degenerate lanes exactly like the per-cell variant
+    kind = jnp.where(cell_ok, kind, 0)
+    return kind, slot, xy, marks, fwd, back
+
+
 def _unary_at(maps: EnergyMaps, spec: EnergySpec, xy: Array, marks: Array,
               view: MapView = None, hw=None):
     """Unary data columns for one candidate point at (xy, marks) — the
@@ -626,7 +840,7 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
                        kd: KernelData, alpha_t: float, t_target: float,
                        n_cells: int, view: MapView = None, hw=None,
                        axis_name: str = None, n_bands: int = 1,
-                       data_moves: bool = True):
+                       data_moves: bool = True, move_switch: bool = False):
     """Superstep over ``n_cells`` x ``n_cells`` active cells.
 
     With ``axis_name`` set the step runs inside ``shard_map`` over ``n_bands``
@@ -647,9 +861,11 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
         view = make_local_view(kd, maps)
     band_h = h // n_bands
 
+    type_logp = jnp.asarray(np.log(_type_probs(data_moves) + 1e-30))
+
     def step(carry, key):
         state, cache, energy, temp = carry
-        k_off, k_cells, k_acc = jax.random.split(key, 3)
+        k_off, k_cells, k_acc, k_mtype = jax.random.split(key, 4)
 
         off = jax.random.randint(k_off, (2,), -CELL, CELL)
         ids = jnp.arange(n_cells)
@@ -678,12 +894,23 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
         free_slots, free_oks = jax.vmap(free_slot_for)(cell_ids)
 
         keys = jax.random.split(k_cells, m)
-        kinds, slots, xys, markss, log_fwds, log_backs = jax.vmap(
-            lambda k, y0, x0, fs, fo: _cell_proposal(
-                k, state, kd, view, h, w, y0, x0, fs, fo,
-                data_moves=data_moves,
-            )
-        )(keys, y0s, x0s, free_slots, free_oks)
+        if move_switch:
+            # ONE move type per superstep: lax.switch executes one branch
+            # (the superstep is dispatch-bound; per-cell type draws traced
+            # every family for every cell)
+            mtype = jax.random.categorical(k_mtype, type_logp)
+            kinds, slots, xys, markss, log_fwds, log_backs = jax.vmap(
+                lambda k, y0, x0, fs, fo: _cell_proposal_switched(
+                    k, mtype, state, kd, view, h, w, y0, x0, fs, fo,
+                )
+            )(keys, y0s, x0s, free_slots, free_oks)
+        else:
+            kinds, slots, xys, markss, log_fwds, log_backs = jax.vmap(
+                lambda k, y0, x0, fs, fo: _cell_proposal(
+                    k, state, kd, view, h, w, y0, x0, fs, fo,
+                    data_moves=data_moves,
+                )
+            )(keys, y0s, x0s, free_slots, free_oks)
 
         # per-proposal ΔU (exact; proposals are pairwise non-interacting);
         # top-2 incremental form — O(m*K), no per-candidate cache copies
@@ -734,20 +961,20 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
 @partial(
     jax.jit,
     static_argnames=("spec", "n_supersteps", "alpha_t", "t_target",
-                     "data_moves"),
+                     "data_moves", "move_switch"),
 )
 def run_parallel_chain(key, init_state: PointsState, maps: EnergyMaps,
                        spec: EnergySpec, comb: EnergyCombiner, kd: KernelData,
                        n_supersteps: int, t0: float = 1.0,
                        alpha_t: float = 0.999, t_target: float = 0.0,
-                       data_moves: bool = True
+                       data_moves: bool = True, move_switch: bool = False
                        ) -> Tuple[PointsState, ChainStats]:
     """Anneal with cell-parallel supersteps; one superstep proposes up to
     (H/(2*CELL)+1)^2 simultaneous moves."""
     h, w = kd.log_birth_density.shape
     n_cells = max(h, w) // (2 * CELL) + 1
     step = make_parallel_step(maps, spec, comb, kd, alpha_t, t_target, n_cells,
-                              data_moves=data_moves)
+                              data_moves=data_moves, move_switch=move_switch)
     cache0 = build_cache(init_state, maps, spec)
     u0 = energy_from_cache(init_state, maps, spec, comb, cache0)
     keys = jax.random.split(key, n_supersteps)

@@ -131,7 +131,8 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                     max_segments: Optional[int] = None,
                     mesh=None, polish_steps: int = 0,
                     restarts: int = 1, stopping=None,
-                    data_moves: bool = True) -> Optional[SceneResult]:
+                    data_moves: bool = True,
+                    move_switch: bool = False) -> Optional[SceneResult]:
     """EXACT whole-scene MPP: one global cell-parallel chain over the full
     maps — no tiling, no ``merge_patch_results`` distance-dedup; optionally
     row-sharded over ``mesh`` with halo-exact cross-band pair energies
@@ -312,7 +313,7 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                 seg_key, state, maps, setup.spec,
                 comb, kd, n_supersteps=n, t0=t0, alpha_t=alpha_super,
                 t_target=t_target, mesh=mesh, cache=cache,
-                data_moves=data_moves,
+                data_moves=data_moves, move_switch=move_switch,
             )
         else:
             lane_keys = jax.vmap(
@@ -324,6 +325,7 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                     k, st, maps, setup.spec, comb, kd, n_supersteps=n,
                     t0=t0, alpha_t=alpha_super, t_target=t_target,
                     mesh=None, cache=ca, data_moves=data_moves,
+                    move_switch=move_switch,
                 )
 
             if cache is None:
@@ -387,6 +389,14 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
     jax.block_until_ready(stats.final_energy)
     if checkpoint_path and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
+    if summaries:
+        # ChainTimer-style per-segment splits (reference RJMCMCTimer /
+        # RJMCMC.run(show_timing), rjmcmc.py:18-48,172-181)
+        from mpp_cnn_rs_object_detection_tpu.mpp.stopping import ChainTimer
+
+        timer = ChainTimer()
+        timer.extend(summaries)
+        logging.info(f"scene {data.name} segments:\n" + timer.show_results())
 
     t_chain = time.perf_counter() - t_chain
     t_score = time.perf_counter()
@@ -474,7 +484,8 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                      max_tiles_per_launch: int = 12,
                      mesh=None, polish_steps: int = 0,
                      restarts: int = 1, stopping=None,
-                     data_moves: bool = True) -> Optional[SceneResult]:
+                     data_moves: bool = True,
+                     move_switch: bool = False) -> Optional[SceneResult]:
     """Full-scene MPP inference (reference ``mpp_model.py:202-321`` infer body).
 
     ``checkpoint_path``: optional ``.npz`` the sequential sampler writes after
@@ -505,6 +516,7 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
             checkpoint_path=checkpoint_path, segment_size=segment_size,
             max_segments=max_segments, mesh=mesh, polish_steps=polish_steps,
             restarts=restarts, stopping=stopping, data_moves=data_moves,
+            move_switch=move_switch,
         )
     if stopping is not None:
         logging.warning(
@@ -588,7 +600,7 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                 key, st, maps, spec, comb, kd,
                 n_supersteps=n_steps, t0=t0,
                 alpha_t=alpha_super, t_target=t_target,
-                data_moves=data_moves,
+                data_moves=data_moves, move_switch=move_switch,
             )
             scores = papangelou(final, maps, spec, comb)
             empty = jnp.zeros((0,), jnp.int32)
@@ -844,7 +856,7 @@ def run_exact_scenes_batched(
     init: str = "naive", kernel_weights=None,
     checkpoint_path: Optional[str] = None, segment_size: int = 4096,
     polish_steps: int = 0, mesh=None, stopping=None,
-    data_moves: bool = True,
+    data_moves: bool = True, move_switch: bool = False,
 ) -> List[SceneResult]:
     """EXACT whole-scene MPP over a BATCH of scenes in one device program.
 
@@ -1017,6 +1029,7 @@ def run_exact_scenes_batched(
                 k, st, mp, spec, comb, kd_, n_supersteps=n,
                 t0=t0, alpha_t=alpha_super, t_target=t_target,
                 mesh=None, cache=ca, data_moves=data_moves,
+                move_switch=move_switch,
             )
 
         if cache is None:

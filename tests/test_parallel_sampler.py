@@ -151,6 +151,33 @@ def test_data_moves_equilibrium_and_confinement():
     assert on_blob >= len(xy) - 1, f"{on_blob}/{len(xy)} on detections"
 
 
+def test_move_switch_equilibrium():
+    """The switched superstep (ONE global move type per superstep via
+    lax.switch — the dispatch-bound path's op-count lever) is the same
+    statistical mixture as per-cell type draws: equilibria must match."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.energies import total_energy
+
+    maps, kd, comb, det, centers = _setup()
+    final_s, stats_s = run_parallel_chain(
+        jax.random.PRNGKey(11), empty_state(32), maps, LEGACY_SPEC, comb, kd,
+        n_supersteps=1500, alpha_t=0.9968, move_switch=True,
+    )
+    final_p, stats_p = run_parallel_chain(
+        jax.random.PRNGKey(11), empty_state(32), maps, LEGACY_SPEC, comb, kd,
+        n_supersteps=1500, alpha_t=0.9968, move_switch=False,
+    )
+    e_s, e_p = float(stats_s.final_energy), float(stats_p.final_energy)
+    assert e_s < 0 and e_p < 0
+    assert e_s <= 0.5 * e_p, (e_s, e_p)
+    # bookkept energy exact under the switched kernels
+    u_fresh = float(total_energy(final_s, maps, LEGACY_SPEC, comb))
+    np.testing.assert_allclose(e_s, u_fresh, rtol=1e-3, atol=1e-3)
+    # finds the blobs
+    xy, _ = state_to_arrays(final_s)
+    on_blob = sum(det[int(p[0]), int(p[1])] > 0.3 for p in xy)
+    assert len(xy) >= 3 and on_blob >= len(xy) - 1
+
+
 def test_superstep_deltas_exact_vs_bruteforce():
     """The top-2 incremental ΔU must equal the brute-force delta
     (apply + cache row refresh + full energy recompute) for every kind."""
