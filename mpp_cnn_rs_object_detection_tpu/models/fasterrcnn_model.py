@@ -107,7 +107,28 @@ class _DetectorBase(BaseModel, PatchBasedTrainer):
         key = jax.random.PRNGKey(0)
         variables = self._init_variables(key)
         loss_cfg = self.config.get("loss", {})
-        self.tx = optax.adam(loss_cfg.get("learning_rate", 1e-3))
+        # From-scratch two-stage training on tiny datasets diverges under a
+        # flat Adam LR (round-4 post-mortem: losses oscillated then froze
+        # into a constant-score predictor). Warmup + cosine decay + global
+        # gradient clipping; the reference sidesteps this by fine-tuning
+        # pretrained torchvision weights (faster_rcnn_model.py:40-60), which
+        # this zero-egress image cannot download.
+        peak_lr = loss_cfg.get("learning_rate", 1e-3)
+        n_train = self.config["data_loader"]["patch_maker_params"].get(
+            "n_patches", 2048
+        )
+        total_steps = max(1, (n_train // self.batch_size) * self.n_epochs)
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=peak_lr * 0.05,
+            peak_value=peak_lr,
+            warmup_steps=max(1, total_steps // 20),
+            decay_steps=total_steps,
+            end_value=peak_lr * 0.01,
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(loss_cfg.get("grad_clip", 1.0)),
+            optax.adam(schedule),
+        )
         self.state = TrainState.create(
             {"params": variables["params"],
              "batch_stats": variables["batch_stats"]},
