@@ -11,6 +11,7 @@ needed (SURVEY.md §2.9). On a single chip the mesh degenerates gracefully.
 from __future__ import annotations
 
 import glob
+import logging
 import os
 import re
 from typing import Any, Callable, Dict, List, Optional
@@ -279,20 +280,40 @@ def latest_checkpoint(save_path: str) -> Optional[str]:
 
 def load_checkpoint(path: str, state: TrainState) -> tuple:
     """Restore (state, last_epoch) from a checkpoint file, using ``state`` as
-    the shape/dtype template (reference ``base/base_model.py:35-49``)."""
+    the shape/dtype template (reference ``base/base_model.py:35-49``).
+
+    Optimizer state is restored best-effort: checkpoints written before an
+    optimizer-stack change (e.g. plain adam -> clip+schedule chain) have an
+    incompatible ``opt_state`` pytree. Weights are what matter for inference
+    and for resuming; on mismatch the fresh ``state.opt_state`` is kept and a
+    warning is logged instead of failing the restore."""
+    with open(path, "rb") as f:
+        blob = f.read()
     template = {
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "epoch": 0,
     }
-    with open(path, "rb") as f:
-        restored = serialization.from_bytes(template, f.read())
+    try:
+        restored = serialization.from_bytes(template, blob)
+        opt_state = restored["opt_state"]
+    except (ValueError, KeyError):
+        restored = serialization.from_bytes(
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "epoch": 0},
+            blob,
+        )
+        opt_state = state.opt_state
+        logging.warning(
+            f"{path}: stored opt_state does not match the current optimizer "
+            "stack; restored weights only (optimizer reinitialised)"
+        )
     return (
         state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
-            opt_state=restored["opt_state"],
+            opt_state=opt_state,
         ),
         int(restored["epoch"]),
     )
