@@ -205,3 +205,43 @@ def test_infer_on_image_big_scene_pow2_pad(workspace):
     img2 = np.random.default_rng(6).random((400, 330, 3)).astype(np.float32)
     model.infer_on_image(img2)
     assert len(model._infer_fn_cache) == 1
+
+
+def test_checkpoint_restore_across_optimizer_change(tmp_path):
+    """Checkpoints written under one optimizer stack restore (weights +
+    epoch; optimizer reinitialised) into a model built with a different
+    stack — round-4 regression: adding clip+schedule to the detectors broke
+    inference restores of adam-era checkpoints."""
+    import jax.numpy as jnp
+    import optax
+
+    from mpp_cnn_rs_object_detection_tpu.models.train_utils import (
+        TrainState,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    old = TrainState.create(
+        {"params": {"w": jnp.ones((3,))}, "batch_stats": {}},
+        optax.adam(1e-3),
+    )
+    save_checkpoint(str(tmp_path), old, epoch=7)
+    path = str(tmp_path / "checkpoint_0007.msgpack")
+
+    new_template = TrainState.create(
+        {"params": {"w": jnp.zeros((3,))}, "batch_stats": {}},
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3)),
+    )
+    restored, epoch = load_checkpoint(path, new_template)
+    assert epoch == 7
+    assert float(restored.params["w"][0]) == 1.0
+
+    # the matching-stack path still restores opt_state exactly
+    same, epoch2 = load_checkpoint(
+        path,
+        TrainState.create(
+            {"params": {"w": jnp.zeros((3,))}, "batch_stats": {}},
+            optax.adam(1e-3),
+        ),
+    )
+    assert epoch2 == 7 and float(same.params["w"][0]) == 1.0
