@@ -204,6 +204,31 @@ class _DetectorBase(BaseModel, PatchBasedTrainer):
                 categories=["vehicle"] * len(gt_poly),
             )
 
+    def _replay_export(self, trlt, patch_id, annotation_file, out_pkl):
+        """Resume support: a skipped image must still reach the freshly
+        rewritten DOTA translation, or its GT and detections silently
+        vanish from the eval (round-4 post-mortem: a crash-resume left an
+        empty det export and scored a finished arm 0.0)."""
+        with open(annotation_file, "rb") as f:
+            labels = pickle.load(f)
+        with open(out_pkl, "rb") as f:
+            prev = pickle.load(f)
+        self._export_gt(trlt, patch_id, labels)
+        scores = np.asarray(prev["detection_score"]).reshape(-1)
+        det = np.asarray(prev["detection"])
+        if str(prev.get("detection_type")) == "poly":
+            trlt.add_detections(
+                image_id=patch_id, scores=scores,
+                polygons=det.reshape(-1, 4, 2), flip_coor=True,
+                class_names=["vehicle"] * len(scores),
+            )
+        else:
+            trlt.add_detections(
+                image_id=patch_id, scores=scores,
+                bbox=det.reshape(-1, 4), flip_coor=False,
+                class_names=["vehicle"] * len(scores),
+            )
+
 
 class FasterRCNNModel(_DetectorBase):
     """Two-stage HBB detector: ResNet-FPN + RPN + ROIAlign + box head
@@ -381,6 +406,7 @@ class FasterRCNNModel(_DetectorBase):
             patch_id = int(_ID_RE.match(os.path.split(pf)[1]).group(1))
             out_pkl = os.path.join(results_dir, f"{patch_id:04}_results.pkl")
             if os.path.exists(out_pkl) and not overwrite:
+                self._replay_export(trlt, patch_id, af, out_pkl)
                 continue
             img = np.asarray(Image.open(pf), np.float32)[..., :3] / 255.0
             with open(af, "rb") as f:
@@ -518,6 +544,7 @@ class BBAVecModel(_DetectorBase):
             patch_id = int(_ID_RE.match(os.path.split(pf)[1]).group(1))
             out_pkl = os.path.join(results_dir, f"{patch_id:04}_results.pkl")
             if os.path.exists(out_pkl) and not overwrite:
+                self._replay_export(trlt, patch_id, af, out_pkl)
                 continue
             img = np.asarray(Image.open(pf), np.float32)[..., :3] / 255.0
             with open(af, "rb") as f:

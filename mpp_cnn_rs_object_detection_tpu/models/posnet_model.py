@@ -434,18 +434,32 @@ class PosNetModel(BaseModel, PatchBasedTrainer):
         for pf, af in zip(paths_dict["images"], paths_dict["annotations"]):
             patch_id = int(_ID_RE.match(os.path.split(pf)[1]).group(1))
             out_pkl = os.path.join(results_dir, f"{patch_id:04}_results.pkl")
-            if os.path.exists(out_pkl) and not overwrite:
-                logging.info(f"{out_pkl} exists, skipping")
-                continue
-            img = np.asarray(Image.open(pf), dtype=np.float32)[..., :3] / 255.0
+            replay = os.path.exists(out_pkl) and not overwrite
             with open(af, "rb") as f:
                 labels_dict = pickle.load(f)
             centers = labels_dict["centers"]
 
-            detection_map = self.detection_map_on_image(img)
-
-            det_centers = np.array(np.where(detection_map > min_confidence)).T
-            det_scores = detection_map[det_centers[:, 0], det_centers[:, 1]]
+            if replay:
+                # resume: replay the existing result pickle into the freshly
+                # rewritten DOTA translation — skipping entirely would drop
+                # this image's GT and detections from the eval
+                logging.info(f"{out_pkl} exists, replaying into translations")
+                with open(out_pkl, "rb") as f:
+                    prev = pickle.load(f)
+                detection_map = prev["detection_map"]
+                det_centers = np.asarray(prev["detection"]).reshape(-1, 2)
+                det_scores = np.asarray(prev["detection_score"]).reshape(-1)
+            else:
+                img = np.asarray(
+                    Image.open(pf), dtype=np.float32
+                )[..., :3] / 255.0
+                detection_map = self.detection_map_on_image(img)
+                det_centers = np.array(
+                    np.where(detection_map > min_confidence)
+                ).T
+                det_scores = detection_map[
+                    det_centers[:, 0], det_centers[:, 1]
+                ]
             nms_centers, nms_scores = nms_distance(
                 det_centers, det_scores, threshold=6
             )
@@ -478,20 +492,23 @@ class PosNetModel(BaseModel, PatchBasedTrainer):
                 flip_coor=False,
                 class_names=["vehicle"] * len(nms_scores),
             )
-            with open(out_pkl, "wb") as f:
-                pickle.dump(
-                    {
-                        "detection": det_centers,
-                        "detection_score": det_scores,
-                        "detection_type": "center",
-                        "detection_map": detection_map,
-                    },
-                    f,
+            if not replay:
+                with open(out_pkl, "wb") as f:
+                    pickle.dump(
+                        {
+                            "detection": det_centers,
+                            "detection_score": det_scores,
+                            "detection_type": "center",
+                            "detection_map": detection_map,
+                        },
+                        f,
+                    )
+                _save_png(
+                    os.path.join(
+                        results_dir, f"{patch_id:04}_detection_map.png"
+                    ),
+                    detection_map,
                 )
-            _save_png(
-                os.path.join(results_dir, f"{patch_id:04}_detection_map.png"),
-                detection_map,
-            )
         dota_trlt.save()
         logging.info("saved DOTA translations")
 

@@ -333,12 +333,35 @@ class ShapeNetModel(BaseModel, PatchBasedTrainer):
         for pf, af in zip(paths_dict["images"], paths_dict["annotations"]):
             patch_id = int(_ID_RE.match(os.path.split(pf)[1]).group(1))
             out_pkl = os.path.join(results_dir, f"{patch_id:04}_results.pkl")
-            if os.path.exists(out_pkl) and not overwrite:
-                continue
-            img = np.asarray(Image.open(pf), dtype=np.float32)[..., :3] / 255.0
             with open(af, "rb") as f:
                 labels_dict = pickle.load(f)
             centers, params = labels_dict["centers"], labels_dict["parameters"]
+            if os.path.exists(out_pkl) and not overwrite:
+                # resume: replay the existing result pickle into the freshly
+                # rewritten DOTA translation — skipping entirely would drop
+                # this image's GT and detections from the eval
+                with open(out_pkl, "rb") as f:
+                    prev = pickle.load(f)
+                params = np.asarray(params).reshape(-1, 3)
+                gt_as_poly = rect_to_poly_np(
+                    centers, params[:, 0], params[:, 1], params[:, 2]
+                )
+                dota_trlt.add_gt(
+                    image_id=patch_id, polygons=gt_as_poly,
+                    difficulty=labels_dict["difficult"],
+                    categories=["vehicle"] * len(gt_as_poly),
+                )
+                prev_scores = np.asarray(
+                    prev["detection_score"]
+                ).reshape(-1)
+                dota_trlt.add_detections(
+                    image_id=patch_id, scores=prev_scores,
+                    polygons=np.asarray(prev["detection"]).reshape(-1, 4, 2),
+                    flip_coor=True,
+                    class_names=["vehicle"] * len(prev_scores),
+                )
+                continue
+            img = np.asarray(Image.open(pf), dtype=np.float32)[..., :3] / 255.0
 
             # posnet centers
             detection_map = pos_model.detection_map_on_image(img)

@@ -444,10 +444,55 @@ class MPPModel(BaseModel):
                 batch_results = dict(zip(pending, results))
                 batch_datas = dict(zip(pending, datas))
 
+        _paths = fetch_data_paths(self.dataset, subset, metadata=False)
+        ann_paths = {
+            int(_ID_RE.match(os.path.split(p)[1]).group(1)): a
+            for p, a in zip(_paths["images"], _paths["annotations"])
+        }
         for patch_id in self._image_ids(subset):
             out_pkl = os.path.join(results_dir, f"{patch_id:04}_results.pkl")
             if os.path.exists(out_pkl) and not overwrite:
-                logging.info(f"{out_pkl} exists, skipping")
+                # resume: replay the existing result pickle into the freshly
+                # rewritten DOTA translations — skipping entirely would drop
+                # this image's GT and detections from the eval (round-4
+                # post-mortem: an empty det export scored a finished arm 0.0)
+                logging.info(f"{out_pkl} exists, replaying into translations")
+                with open(ann_paths[patch_id], "rb") as f:
+                    labels = pickle.load(f)
+                with open(out_pkl, "rb") as f:
+                    prev = pickle.load(f)
+                r_centers = np.asarray(labels["centers"]).reshape(-1, 2)
+                r_params = np.asarray(labels["parameters"]).reshape(-1, 3)
+                r_diff = np.asarray(labels["difficult"]).reshape(-1)
+                r_cats = np.asarray(labels["categories"]).reshape(-1)
+                r_gt_poly = rect_to_poly_np(
+                    r_centers, r_params[:, 0], r_params[:, 1], r_params[:, 2]
+                )
+                dota_trlt.add_gt(
+                    image_id=patch_id, polygons=r_gt_poly, difficulty=r_diff,
+                    categories=["vehicle"] * len(r_gt_poly),
+                )
+                dota_trlt_sv.add_gt(
+                    image_id=patch_id, polygons=r_gt_poly,
+                    difficulty=[
+                        bool(d) or c == "large-vehicle"
+                        for d, c in zip(r_diff, r_cats)
+                    ],
+                    categories=["vehicle"] * len(r_gt_poly),
+                )
+                prev_scores = (
+                    np.asarray(prev["detection_score"]).reshape(-1)
+                    / max_score
+                )
+                for trlt in (dota_trlt, dota_trlt_sv):
+                    trlt.add_detections(
+                        image_id=patch_id, scores=prev_scores,
+                        polygons=np.asarray(
+                            prev["detection"]
+                        ).reshape(-1, 4, 2),
+                        flip_coor=True,
+                        class_names=["vehicle"] * len(prev_scores),
+                    )
                 continue
             maybe_yield_device(f"before image {patch_id}")
             t_stage = time.perf_counter()

@@ -7,12 +7,21 @@ plugin ignores the JAX_PLATFORMS env var in this image).
 """
 
 import os
+import tempfile
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Process-level device-yield isolation: utils.config binds the flag path at
+# import, and module/session-scoped fixtures (e.g. the pipeline workspaces
+# that train tiny CNNs) run OUTSIDE the function-scoped monkeypatch fixture
+# below — a live probe's real flag would SystemExit them mid-setup.
+os.environ["MPP_DEVICE_YIELD_FLAG"] = os.path.join(
+    tempfile.mkdtemp(prefix="mpp_test_yield_"), ".device_yield"
+)
 
 import jax  # noqa: E402
 

@@ -74,6 +74,13 @@ def test_fasterrcnn_hbb_roundtrip(workspace):
     m2.eval()
     assert os.path.exists(os.path.join(results_dir, "dota", "metrics0.25.json"))
 
+    from tests._dota_util import dota_snapshot
+
+    first = dota_snapshot(results_dir)
+    assert any(v.strip() for v in first.values())
+    m2.infer(subset="val", overwrite=False, min_confidence=0.05)
+    assert dota_snapshot(results_dir) == first
+
 
 def test_bbavec_obb_roundtrip(workspace):
     from mpp_cnn_rs_object_detection_tpu.models.fasterrcnn_model import BBAVecModel
@@ -90,3 +97,10 @@ def test_bbavec_obb_roundtrip(workspace):
     assert res["detection"].shape[1:] == (4, 2) or len(res["detection"]) == 0
     m2.eval()
     assert os.path.exists(os.path.join(results_dir, "dota", "metrics0.25.json"))
+
+    from tests._dota_util import dota_snapshot
+
+    first = dota_snapshot(results_dir)
+    assert any(v.strip() for v in first.values())
+    m2.infer(subset="val", overwrite=False, min_confidence=0.05)
+    assert dota_snapshot(results_dir) == first

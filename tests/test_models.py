@@ -107,6 +107,15 @@ def test_posnet_train_infer_eval(workspace):
     model2.eval()  # writes metrics jsons
     assert os.path.exists(os.path.join(results_dir, "dota", "metrics0.50.json"))
 
+    # resume replay: a second infer WITHOUT overwrite must reproduce the
+    # DOTA translations from the existing pickles (not drop skipped images)
+    from tests._dota_util import dota_snapshot
+
+    first = dota_snapshot(results_dir)
+    assert any(v.strip() for v in first.values())
+    model2.infer(subset="val", overwrite=False)
+    assert dota_snapshot(results_dir) == first
+
 
 def test_shapenet_train_infer(workspace):
     from mpp_cnn_rs_object_detection_tpu.models.shapenet_model import ShapeNetModel
@@ -127,6 +136,13 @@ def test_shapenet_train_infer(workspace):
     # per-pixel distributions sum to one
     np.testing.assert_allclose(res["output"][0][0].sum(axis=0), 1.0, atol=1e-4)
     assert len(res["mappings"]) == 3
+
+    from tests._dota_util import dota_snapshot
+
+    first = dota_snapshot(results_dir)
+    assert any(v.strip() for v in first.values())
+    model2.infer(subset="val", overwrite=False, min_confidence=0.2)
+    assert dota_snapshot(results_dir) == first
 
 
 def test_checkpoint_resume(workspace):

@@ -154,6 +154,15 @@ def test_mpp_manual_infer_eval(workspace):
         metrics = json.load(f)
     assert metrics["vehicle"]["ap"] > 0.1, metrics["vehicle"]["ap"]
 
+    # resume replay: a second infer WITHOUT overwrite must reproduce both
+    # DOTA translations (incl. -SV) from the existing result pickles
+    from tests._dota_util import dota_snapshot
+
+    first = dota_snapshot(results_dir)
+    assert any(v.strip() for v in first.values())
+    model2.infer(subset="val", overwrite=False)
+    assert dota_snapshot(results_dir) == first
+
 
 def test_mpp_ordering_criterion_train(workspace):
     from mpp_cnn_rs_object_detection_tpu.mpp.mpp_model import MPPModel
