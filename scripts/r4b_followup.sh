@@ -54,11 +54,11 @@ clone_model() { # src dst
 
 MS=workspace/models_storage/mpp
 
-# --- 1. switched-superstep flagship arm
-if [ -f "$MS/mpp_log_r10/energy_combination_model.json" ]; then
-  clone_model mpp/mpp_log_r10 mpp/mpp_log_r10sw
-  run_stage R10_SW 6 -p infereval -m mpp -c mpp_log_r10sw -s val -o
-fi
+# --- 1. switched-superstep flagship arm: DROPPED. The perf A/B
+# (scripts/superstep_ab.py, 2026-08-20) measured the switched superstep at
+# ~9.3 ms/superstep vs ~6-7.5 ms for the per-cell variant at flagship scale
+# — lax.switch adds overhead instead of cutting dispatch, so the switch
+# stays a non-default option and the arm isn't worth device time.
 
 # --- 2. fasterrcnn retrain with the stabilized schedule
 run_stage FRCNN_TRAIN3 4 -p train -m fasterrcnn -c fasterrcnn_quick -o
