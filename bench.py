@@ -359,6 +359,30 @@ def bench_superstep_cost(h=1024, w=1024, capacity=1024, n_super=128):
     }
 
 
+def _scene_data(h, w, n_obj, seed):
+    from mpp_cnn_rs_object_detection_tpu.mpp.image_data import ImageWMaps
+    from mpp_cnn_rs_object_detection_tpu.ops.mappings import default_mappings
+
+    rng = np.random.default_rng(seed)
+    det, dists = build_tile(h, w, n_obj=n_obj, seed=seed)
+    mappings = default_mappings(dists[0].shape[-1], 0, 32)
+    centers = rng.integers(8, [h - 8, w - 8], size=(n_obj, 2)).astype(
+        np.float32
+    )
+    return ImageWMaps(
+        image=np.stack([det] * 3, -1), name=f"bench{seed}", shape=(h, w),
+        detection_map=det, param_dist_maps=list(dists), mappings=mappings,
+        labels={"centers": centers,
+                "parameters": np.tile(np.asarray([[4.0, 9.0, 0.4]],
+                                                 np.float32), (n_obj, 1)),
+                "categories": np.zeros(n_obj, np.int32),
+                "difficult": np.zeros(n_obj, bool)},
+        gt_centers=centers,
+        gt_marks=np.tile(np.asarray([[6.5, 0.44, 0.4]], np.float32),
+                         (n_obj, 1)),
+    )
+
+
 def bench_scene_e2e(h=1024, w=1024, n_obj=200):
     """End-to-end scene throughput: synthetic maps -> naive init -> EXACT
     whole-scene annealed chain (the flagship inference unit) -> papangelou
@@ -372,29 +396,11 @@ def bench_scene_e2e(h=1024, w=1024, n_obj=200):
     from mpp_cnn_rs_object_detection_tpu.mpp.energy_setups import (
         NoCalibrationEnergySetup,
     )
-    from mpp_cnn_rs_object_detection_tpu.mpp.image_data import ImageWMaps
     from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import RJMCMCParams
     from mpp_cnn_rs_object_detection_tpu.mpp.scene import run_mpp_on_scene
-    from mpp_cnn_rs_object_detection_tpu.ops.mappings import default_mappings
 
     rng = np.random.default_rng(1)
-    det, dists = build_tile(h, w, n_obj=n_obj, seed=1)
-    mappings = default_mappings(dists[0].shape[-1], 0, 32)
-    centers = rng.integers(8, [h - 8, w - 8], size=(n_obj, 2)).astype(
-        np.float32
-    )
-    data = ImageWMaps(
-        image=np.stack([det] * 3, -1), name="bench", shape=(h, w),
-        detection_map=det, param_dist_maps=list(dists), mappings=mappings,
-        labels={"centers": centers,
-                "parameters": np.tile(np.asarray([[4.0, 9.0, 0.4]],
-                                                 np.float32), (n_obj, 1)),
-                "categories": np.zeros(n_obj, np.int32),
-                "difficult": np.zeros(n_obj, bool)},
-        gt_centers=centers,
-        gt_marks=np.tile(np.asarray([[6.5, 0.44, 0.4]], np.float32),
-                         (n_obj, 1)),
-    )
+    data = _scene_data(h, w, n_obj, seed=1)
     setup = NoCalibrationEnergySetup()
     setup.calibrate([data], rng, save_path="")
     comb = comb_lib.sum_combiner(setup.spec.names)
@@ -413,6 +419,47 @@ def bench_scene_e2e(h=1024, w=1024, n_obj=200):
     )
     dt = time.perf_counter() - t0
     return dt, res.total_moves, len(res.centers)
+
+
+def bench_scene_e2e_batched(h=1024, w=1024, n_obj=200, batch=3):
+    """Product-path scene throughput: the flagship config batches the val
+    split's scenes into ONE vmapped exact-chain program
+    (``inference.batch_scenes``, ``scene.run_exact_scenes_batched``), which
+    amortizes the per-superstep dispatch overhead the single-scene unit pays
+    in full. Returns (seconds_per_scene, total_moves_all_scenes)."""
+    from mpp_cnn_rs_object_detection_tpu.mpp import combinators as comb_lib
+    from mpp_cnn_rs_object_detection_tpu.mpp.energy_setups import (
+        NoCalibrationEnergySetup,
+    )
+    from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import RJMCMCParams
+    from mpp_cnn_rs_object_detection_tpu.mpp.scene import (
+        run_exact_scenes_batched,
+    )
+
+    rng = np.random.default_rng(1)
+    datas = [
+        _scene_data(h, w, n_obj, seed=s) for s in range(1, batch + 1)
+    ]
+    setup = NoCalibrationEnergySetup()
+    setup.calibrate(datas, rng, save_path="")
+    comb = comb_lib.sum_combiner(setup.spec.names)
+    seeds = list(range(batch))
+    # warmup compile on a short schedule (same segment program signature)
+    run_exact_scenes_batched(
+        datas, setup, comb,
+        RJMCMCParams(n_steps=600, alpha_t=0.99, n_samples=0,
+                     samples_interval=1),
+        seeds=seeds, capacity=256,
+    )
+    t0 = time.perf_counter()
+    results = run_exact_scenes_batched(
+        datas, setup, comb,
+        RJMCMCParams(n_steps=30000, alpha_t=0.999, n_samples=0,
+                     samples_interval=1),
+        seeds=seeds, capacity=256,
+    )
+    dt = time.perf_counter() - t0
+    return dt / batch, sum(int(r.total_moves) for r in results)
 
 
 def main():
@@ -469,6 +516,9 @@ def _run_benchmarks(det, dists, on_cpu):
         scene_s, scene_moves, scene_dets = bench_scene_e2e(
             **(dict(h=256, w=256, n_obj=40) if on_cpu else {})
         )
+        scene_s_b, scene_moves_b = bench_scene_e2e_batched(
+            **(dict(h=256, w=256, n_obj=40, batch=2) if on_cpu else {})
+        )
         superstep_cost = (
             {} if on_cpu
             else bench_superstep_cost()
@@ -516,6 +566,10 @@ def _run_benchmarks(det, dists, on_cpu):
             "scene_e2e_seconds_1024px": round(scene_s, 2),
             "scene_e2e_moves": int(scene_moves),
             "scene_e2e_detections": int(scene_dets),
+            # product path: the flagship batches the val split's scenes into
+            # one vmapped chain program (inference.batch_scenes)
+            "scene_e2e_seconds_per_scene_batched3": round(scene_s_b, 2),
+            "scene_e2e_batched_total_moves": int(scene_moves_b),
             "baseline_seq_moves_per_sec": round(base_moves_per_sec, 1),
             **base_extra,
             **superstep_cost,
