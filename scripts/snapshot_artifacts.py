@@ -138,6 +138,46 @@ def update_bench_block() -> bool:
     return True
 
 
+def check_baseline_tables() -> bool:
+    """Cross-check BASELINE.md's AP tables against the workspace metrics
+    artifacts (VERDICT r3 items 5/10: the r10 flagship table went stale at
+    a round boundary). For every evaluated mpp model that BASELINE.md
+    mentions, its headline `-SV` mAP@0.05 and @0.50 (rounded to 3 decimals,
+    as the tables quote them) must appear in the doc. Prints each
+    discrepancy; returns False if any."""
+    import glob
+    import json
+    import re
+
+    baseline_path = os.path.join(REPO, "BASELINE.md")
+    if not os.path.exists(baseline_path):
+        return True
+    with open(baseline_path) as f:
+        doc = f.read()
+    ok = True
+    for mdir in sorted(glob.glob(os.path.join(
+            REPO, "workspace", "data", "inference", "*", "val", "mpp*"))):
+        model = os.path.basename(mdir)
+        if not re.search(rf"`{re.escape(model)}`", doc):
+            continue  # not a model the doc claims numbers for
+        for iou in ("0.05", "0.50"):
+            mfile = os.path.join(mdir, "dota-SV", f"metrics{iou}.json")
+            if not os.path.exists(mfile):
+                continue
+            try:
+                with open(mfile) as f:
+                    ap = json.load(f)["vehicle"]["ap"]
+            except Exception:
+                continue
+            quoted = f"{ap:.3f}"
+            if quoted not in doc:
+                print(f"[snapshot] BASELINE.md quotes `{model}` but lacks "
+                      f"its measured -SV mAP@{iou} = {quoted} "
+                      f"({os.path.relpath(mfile, REPO)}) — table stale?")
+                ok = False
+    return ok
+
+
 def main(argv):
     if "--restore" in argv:
         n = sync(DST, SRC, restore=True)
@@ -151,7 +191,7 @@ def main(argv):
                       flush=True)
             time.sleep(600)
     n = sync(SRC, DST)
-    docs_ok = update_bench_block()
+    docs_ok = update_bench_block() and check_baseline_tables()
     print(f"snapshotted {n} file(s) into artifacts/"
           + ("" if docs_ok else " [DOC-CONSISTENCY FAILURE]"))
     return 0 if docs_ok else 1
