@@ -56,11 +56,20 @@ PROBE = (
 )
 
 
-def wait_for_device(poll_s: float = 60.0, probe_timeout_s: float = 240.0,
+def wait_for_device(poll_s: float = 60.0, probe_timeout_s: float = 1200.0,
                     max_wait_s: float = 6 * 3600.0) -> bool:
     # multi-hour axon worker outages observed on this host; a premature
     # give-up makes a runbook burn through all its stages while the device
     # is down, so the ceiling errs long
+    #
+    # probe_timeout_s errs LONG too (was 240 s): the first attach after a
+    # VM reset includes the remote worker's boot, which can exceed 240 s,
+    # and killing a probe mid-handshake leaves a stale claim on the worker
+    # that wedges EVERY later client for many minutes ("grant unclaimed
+    # past timeout — client lost", observed 2026-08-20: three successive
+    # 240 s probe kills kept the chip unreachable for half an hour). A
+    # patient probe that waits out the claim is strictly better than a
+    # kill/retry cycle that re-wedges it.
     """Block until a fresh process can run a jitted op on the device."""
     t0 = time.time()
     while time.time() - t0 < max_wait_s:
