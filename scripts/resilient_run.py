@@ -14,6 +14,7 @@ checkpoints (``*_chains.ck.npz``) that lose at most one segment per crash.
 Usage: python scripts/resilient_run.py [max_attempts] -- <main.py args...>
 """
 
+import signal
 import subprocess
 import sys
 import time
@@ -89,6 +90,47 @@ def wait_for_device(poll_s: float = 60.0, probe_timeout_s: float = 1200.0,
     return False
 
 
+def _run_forwarding_signals(cmd):
+    """Run ``cmd`` like ``subprocess.run`` but forward SIGTERM/SIGINT to the
+    child and wait for it to die.
+
+    Runbooks wrap each stage in ``timeout <deadline> resilient_run ...``;
+    ``timeout`` signals only this process, and a plain ``subprocess.run``
+    would leave the ``main.py`` child orphaned — still holding the
+    exclusive TPU claim straight through the driver's round-end bench
+    window. Forwarding the signal turns the stage hard-stop into a clean
+    chip release (main.py's own teardown runs; per-image pickles and scene
+    checkpoints already on disk are kept)."""
+    proc = subprocess.Popen(cmd, cwd=REPO)
+    got = []
+
+    def _forward(signum, frame):
+        got.append(signum)
+        try:
+            proc.terminate()
+        except OSError:
+            pass
+
+    old = {s: signal.signal(s, _forward)
+           for s in (signal.SIGTERM, signal.SIGINT)}
+    try:
+        proc.wait()
+    finally:
+        for s, h in old.items():
+            signal.signal(s, h)
+        if proc.poll() is None:
+            try:
+                proc.wait(timeout=30.0)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+    if got:
+        # we were told to stop (deadline/driver): do NOT retry the stage
+        print(f"[resilient_run] signal {got[0]} forwarded to stage; "
+              "exiting", flush=True)
+        raise SystemExit(128 + got[0])
+    return proc
+
+
 def main(argv):
     max_attempts = 20
     if argv and argv[0] != "--":
@@ -111,7 +153,7 @@ def main(argv):
             continue
         print(f"[resilient_run] attempt {attempt}/{max_attempts}: "
               f"main.py {' '.join(argv)}", flush=True)
-        r = subprocess.run([sys.executable, "main.py", *argv], cwd=REPO)
+        r = _run_forwarding_signals([sys.executable, "main.py", *argv])
         if r.returncode == 0:
             print("[resilient_run] success", flush=True)
             return 0
