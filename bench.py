@@ -35,17 +35,25 @@ def wait_for_device(max_wait_s: float = 900.0) -> bool:
     The axon TPU worker needs ~10-15 min to come back after a fault and a
     process whose client saw the fault can never reconnect — so the probe
     runs in a subprocess and this process only starts JAX once it succeeds.
+
+    The probe gets the WHOLE wait budget, not a short slice: killing an
+    attach mid-handshake leaves a stale claim on the worker that wedges
+    every later client (including the killed probe's own successor), so a
+    120 s kill/retry loop converts a slow attach into a permanent outage
+    (observed 2026-08-21). One patient probe either lands or times the
+    budget out cleanly.
     """
     t0 = time.time()
     while True:
+        budget = max(60.0, max_wait_s - (time.time() - t0))
         try:
             r = subprocess.run([sys.executable, "-c", _PROBE],
-                               timeout=120, capture_output=True)
+                               timeout=budget, capture_output=True)
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
             pass
-        if time.time() - t0 > max_wait_s:
+        if time.time() - t0 > max_wait_s - 1.0:
             return False
         # keep the yield request fresh while waiting (holders drop flags
         # older than the staleness window)

@@ -76,6 +76,17 @@ def main(argv=None):
         jax.profiler.start_trace(profile_dir)
         atexit.register(jax.profiler.stop_trace)
 
+    # Device-bound procedures: fail fast (rc 82) on a dead device attach
+    # instead of hanging forever — a hung first op is invisible to outside
+    # wrappers, and the in-process client never recovers. resilient_run
+    # retries the stage with a fresh process.
+    if args.procedure in ("train", "infer", "infereval"):
+        from mpp_cnn_rs_object_detection_tpu.utils.config import (
+            assert_device_alive,
+        )
+
+        assert_device_alive()
+
     if args.procedure == "translate_dota":
         from mpp_cnn_rs_object_detection_tpu.data.translate_dota import translate_dota
 

@@ -251,6 +251,52 @@ DEVICE_YIELD_FLAG = os.environ.get(
 DEVICE_YIELD_RC = 75
 _YIELD_STALE_S = 45 * 60.0
 
+# rc for "the device attach never completed": distinct from DEVICE_YIELD_RC
+# so wrappers can tell a voluntary yield from a dead client.
+DEVICE_DEAD_RC = 82
+
+
+def assert_device_alive(timeout_s: float = 600.0,
+                        exit_code: int = DEVICE_DEAD_RC,
+                        _op=None) -> None:
+    """Run a trivial jitted op under a watchdog; ``os._exit`` if it hangs.
+
+    The axon TPU client can die mid-attach (threads parked on futexes, no
+    relay connection, never recovers in-process — observed 2026-08-21 when
+    a stage attached during another client's claim-release window). A hung
+    first device op is indistinguishable from work to any outside wrapper,
+    so the process itself must detect it: if the probe op hasn't landed
+    within ``timeout_s`` the watchdog exits with ``DEVICE_DEAD_RC`` and a
+    process-level runner (``scripts/resilient_run.py``) retries with a
+    fresh client. A long wait can also be legitimate (another process holds
+    the exclusive chip) — exiting and retrying is safe and correct there
+    too, since attach-blocking holds no claim and loses no work.
+
+    ``_op`` injects the probed operation for tests.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def _watch() -> None:
+        if not done.wait(timeout_s):
+            print(f"[device-watchdog] first device op did not complete "
+                  f"in {timeout_s:.0f}s; exiting {exit_code} for a "
+                  f"process-level retry", flush=True)
+            sys.stdout.flush()
+            os._exit(exit_code)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    if _op is None:
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.ones((8, 8))
+        jax.jit(lambda a: (a @ a).sum())(x).block_until_ready()
+    else:
+        _op()
+    done.set()
+
 
 def request_device_yield() -> None:
     """Ask current device holders to exit at their next safe boundary."""

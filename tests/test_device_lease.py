@@ -78,3 +78,33 @@ def test_yield_resume_argv():
 
 def test_no_yield_without_flag(flag_path):
     cfg.maybe_yield_device("unit test")  # no flag -> no-op
+
+
+# ---------------------------------------------------------------- watchdog
+# assert_device_alive: a dead axon attach parks threads on futexes forever
+# and is invisible to outside wrappers; the watchdog turns it into a
+# distinct exit code that resilient_run retries with a fresh process.
+
+
+def test_assert_device_alive_completes():
+    # op lands immediately -> returns, no exit
+    cfg.assert_device_alive(timeout_s=30.0, _op=lambda: None)
+
+
+def test_assert_device_alive_exits_on_hang():
+    import subprocess
+    import sys
+
+    code = (
+        "import sys, time; sys.path.insert(0, %r);"
+        "from mpp_cnn_rs_object_detection_tpu.utils.config import "
+        "assert_device_alive;"
+        "assert_device_alive(timeout_s=0.3, _op=lambda: time.sleep(20))"
+        % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    t0 = time.time()
+    r = subprocess.run([sys.executable, "-c", code], timeout=60,
+                       capture_output=True, text=True)
+    assert r.returncode == cfg.DEVICE_DEAD_RC, (r.returncode, r.stderr)
+    assert "device-watchdog" in r.stdout
+    assert time.time() - t0 < 30.0  # exited at the watchdog, not the sleep
