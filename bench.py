@@ -511,6 +511,29 @@ def main():
 
 
 def _run_benchmarks(det, dists, on_cpu):
+    # Hang watchdog: the axon client can die SILENTLY mid-run (threads
+    # parked, no exception ever raised — observed 2026-08-21 after a clean
+    # probe), which the except-clause re-exec below cannot catch. If no
+    # bench stage completes for 900 s (cold compile of the largest program
+    # is ~350 s, so this only fires on a genuine wedge), re-exec onto the
+    # labelled CPU fallback so the driver still gets a JSON line.
+    import threading
+
+    hb = {"t": time.time()}
+
+    def _watch():
+        while True:
+            time.sleep(30.0)
+            if time.time() - hb["t"] > 900.0:
+                print("# bench hang watchdog: no stage progress in 900s; "
+                      "re-exec on CPU backend", file=sys.stderr, flush=True)
+                if os.environ.get("MPP_PLATFORM") == "cpu":
+                    os._exit(3)  # even the CPU run hung: give up loudly
+                env = dict(os.environ, MPP_PLATFORM="cpu")
+                os.execve(sys.executable,
+                          [sys.executable, os.path.abspath(__file__)], env)
+
+    threading.Thread(target=_watch, daemon=True).start()
     try:
         # CPU fallback shrinks each stage so the JSON line still lands in
         # minutes on the 1-core host (the full scene bench alone would cost
@@ -518,19 +541,24 @@ def _run_benchmarks(det, dists, on_cpu):
         # per-second so the numbers remain comparable, just noisier
         jax_kw = dict(n_steps=600, batch=4) if on_cpu else {}
         moves_per_sec, run_samples, _ = bench_jax(det, dists, **jax_kw)
+        hb["t"] = time.time()
         cnn_tps, mfu_unet = bench_cnn_tiles(
             **(dict(batch=2, n_reps=2) if on_cpu else {})
         )
+        hb["t"] = time.time()
         scene_s, scene_moves, scene_dets = bench_scene_e2e(
             **(dict(h=256, w=256, n_obj=40) if on_cpu else {})
         )
+        hb["t"] = time.time()
         scene_s_b, scene_moves_b = bench_scene_e2e_batched(
             **(dict(h=256, w=256, n_obj=40, batch=2) if on_cpu else {})
         )
+        hb["t"] = time.time()
         superstep_cost = (
             {} if on_cpu
             else bench_superstep_cost()
         )
+        hb["t"] = time.time()
     except Exception as exc:
         # a mid-bench worker fault kills this process's client for good;
         # re-exec once the device answers a probe again. Only device/runtime
