@@ -17,8 +17,10 @@ baseline per-move cost is measured live each run.
 
 import json
 import os
+import signal
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -27,6 +29,121 @@ _PROBE = (
     "import jax, jax.numpy as jnp;"
     "print(jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128))))"
 )
+
+# ---------------------------------------------------------------- evidence
+# Crash-proof artifact plumbing (VERDICT r4 item 1: rounds 2 and 4 both
+# produced rc=124 with NO JSON line — round 4's moves/s was already measured
+# when a later stage's TPU fault discarded it). Every stage persists its
+# result to a scratch file the moment it completes; re-execs (device-fault
+# retry, CPU fallback) skip completed stages; SIGTERM and a global deadline
+# both emit the best-known partial JSON instead of dying silent.
+
+# wall-clock start of the FIRST exec, carried across os.execve re-execs
+_T0 = float(os.environ.setdefault("BENCH_T0", repr(time.time())))
+# hard emission deadline: the driver kills the process (observed via
+# `timeout`/rc=124) — emit whatever is known well before that
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1140"))
+_RUN_ID = os.environ.setdefault("BENCH_RUN_ID", f"{os.getpid()}_{int(_T0)}")
+_SCRATCH = os.environ.get(
+    "BENCH_SCRATCH", f"/tmp/mpp_bench_scratch_{_RUN_ID}.json"
+)
+# pinned fallback denominator if the CPU-baseline stage never runs before
+# emission (median of the live measurements from rounds 1-4: 400-700 mv/s)
+_BASELINE_FALLBACK = 550.0
+
+_emit_lock = threading.Lock()
+_emitted = False
+
+
+def _remaining() -> float:
+    return _DEADLINE_S - (time.time() - _T0)
+
+
+def _load_scratch() -> dict:
+    try:
+        with open(_SCRATCH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_stage(name: str, data: dict) -> None:
+    scratch = _load_scratch()
+    scratch[name] = dict(
+        data, platform=os.environ.get("MPP_PLATFORM", "tpu")
+    )
+    tmp = _SCRATCH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(scratch, f)
+    os.replace(tmp, _SCRATCH)
+    print(f"# stage {name} persisted", file=sys.stderr, flush=True)
+
+
+def _assemble(scratch: dict, complete: bool) -> dict:
+    """Best-known result JSON from whatever stages have landed."""
+    jx = scratch.get("jax", {})
+    base = scratch.get("baseline", {})
+    moves = jx.get("moves_per_sec", 0.0)
+    base_mps = base.get("baseline_seq_moves_per_sec", _BASELINE_FALLBACK)
+    extra = {
+        "platform": jx.get("platform", os.environ.get("MPP_PLATFORM", "tpu")),
+        "complete": complete,
+        "stages_done": sorted(scratch.keys()),
+    }
+    if not base:
+        extra["baseline_fallback"] = (
+            f"pinned {_BASELINE_FALLBACK} mv/s (rounds 1-4 median); "
+            "baseline stage did not run before emission"
+        )
+    for key in ("runs_min_max", "runs_rel_spread", "spread_ok"):
+        if key in jx:
+            extra[key] = jx[key]
+    for stage in ("cnn", "scene", "scene_batched", "superstep", "baseline"):
+        for k, v in scratch.get(stage, {}).items():
+            if k != "platform":
+                extra[k] = v
+    return {
+        "metric": "rjmcmc_moves_per_sec",
+        "value": round(moves, 1),
+        "unit": "moves/s/chip",
+        "vs_baseline": round(moves / base_mps, 2) if base_mps else 0.0,
+        "extra": extra,
+    }
+
+
+def _emit(complete: bool, reason: str = "") -> None:
+    """Print the ONE JSON line (at most once per process tree)."""
+    global _emitted
+    with _emit_lock:
+        if _emitted:
+            return
+        _emitted = True
+    if reason:
+        print(f"# emitting ({reason})", file=sys.stderr, flush=True)
+    print(json.dumps(_assemble(_load_scratch(), complete)), flush=True)
+
+
+def _install_emergency_emitters() -> None:
+    """SIGTERM (the driver's `timeout`) and the global deadline both emit
+    the best-known partial JSON and exit 0 — a killed bench must still
+    leave evidence."""
+
+    def _on_term(signum, frame):
+        _emit(False, f"signal {signum}")
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    def _deadline_watch():
+        while True:
+            rem = _remaining()
+            if rem <= 30.0:
+                _emit(False, f"deadline {_DEADLINE_S:.0f}s")
+                os._exit(0)
+            time.sleep(min(30.0, max(1.0, rem - 30.0)))
+
+    threading.Thread(target=_deadline_watch, daemon=True).start()
 
 
 def wait_for_device(max_wait_s: float = 900.0) -> bool:
@@ -41,19 +158,27 @@ def wait_for_device(max_wait_s: float = 900.0) -> bool:
     every later client (including the killed probe's own successor), so a
     120 s kill/retry loop converts a slow attach into a permanent outage
     (observed 2026-08-21). One patient probe either lands or times the
-    budget out cleanly.
+    budget out cleanly. The wait is additionally capped by the global
+    emission deadline (minus a CPU-fallback reserve) so probes can never
+    consume the measurement budget, and no probe is launched with less
+    than a safe-handshake budget left — it would only be killed mid-attach
+    and wedge the worker claim.
     """
+    reserve = 300.0  # keep enough deadline for the CPU-fallback stages
+    max_wait_s = min(max_wait_s, _remaining() - reserve)
     t0 = time.time()
     while True:
-        budget = max(60.0, max_wait_s - (time.time() - t0))
+        budget = max_wait_s - (time.time() - t0)
+        if budget < 120.0:  # too little to survive an attach handshake
+            return False
         try:
             r = subprocess.run([sys.executable, "-c", _PROBE],
                                timeout=budget, capture_output=True)
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
-            pass
-        if time.time() - t0 > max_wait_s - 1.0:
+            return False
+        if time.time() - t0 > max_wait_s - 121.0:
             return False
         # keep the yield request fresh while waiting (holders drop flags
         # older than the staleness window)
@@ -227,16 +352,20 @@ def bench_python_baseline(det, dists, n_steps=1200, seed=0):
     return n_steps / dt, len(points)
 
 
-def baseline_median(det, dists, n_runs=3, n_steps=1200):
+def baseline_median(det, dists, n_runs=3, n_steps=1200, heartbeat=None):
     """Pinned CPU-baseline protocol (VERDICT r3 weak #8: the denominator of
     every speedup claim drifted 2-3.5x between rounds): fixed 1200 steps,
     median of ``n_runs``, host load recorded alongside so a loaded-host
-    sample is visible in the artifact."""
+    sample is visible in the artifact. ``heartbeat`` (hang-watchdog dict)
+    is refreshed after every run — the pure-Python loop can exceed the
+    watchdog window on a loaded 1-core host (ADVICE r4 medium)."""
     load0 = os.getloadavg()[0] if hasattr(os, "getloadavg") else -1.0
-    runs = [
-        bench_python_baseline(det, dists, n_steps=n_steps, seed=s)[0]
-        for s in range(n_runs)
-    ]
+    runs = []
+    for s in range(n_runs):
+        runs.append(bench_python_baseline(det, dists, n_steps=n_steps,
+                                          seed=s)[0])
+        if heartbeat is not None:
+            heartbeat["t"] = time.time()
     return float(np.median(runs)), {
         "baseline_runs": [round(r, 1) for r in runs],
         "baseline_protocol": f"{n_steps} steps x {n_runs} runs, median",
@@ -470,6 +599,72 @@ def bench_scene_e2e_batched(h=1024, w=1024, n_obj=200, batch=3):
     return dt / batch, sum(int(r.total_moves) for r in results)
 
 
+def _stage_jax(det, dists, on_cpu, hb):
+    kw = dict(n_steps=600, batch=4) if on_cpu else {}
+    moves_per_sec, run_samples, _ = bench_jax(det, dists, **kw)
+    spread = (max(run_samples) - min(run_samples)) / max(run_samples)
+    return {
+        "moves_per_sec": round(moves_per_sec, 1),  # MEDIAN of re-warmed runs
+        "runs_min_max": [round(min(run_samples), 1),
+                         round(max(run_samples), 1)],
+        "runs_rel_spread": round(spread, 3),
+        # a skeptic-visible flag: >25% spread means the device was not
+        # quiet and the headline should not be quoted without context
+        "spread_ok": bool(spread <= 0.25),
+    }
+
+
+def _stage_cnn(det, dists, on_cpu, hb):
+    cnn_tps, mfu_unet = bench_cnn_tiles(
+        **(dict(batch=2, n_reps=2) if on_cpu else {})
+    )
+    return {"cnn_tiles_per_sec_256px": round(cnn_tps, 2),
+            "mfu_unet": round(mfu_unet, 4)}
+
+
+def _stage_scene(det, dists, on_cpu, hb):
+    scene_s, scene_moves, scene_dets = bench_scene_e2e(
+        **(dict(h=256, w=256, n_obj=40) if on_cpu else {})
+    )
+    return {"scene_e2e_seconds_1024px": round(scene_s, 2),
+            "scene_e2e_moves": int(scene_moves),
+            "scene_e2e_detections": int(scene_dets)}
+
+
+def _stage_scene_batched(det, dists, on_cpu, hb):
+    # product path: the flagship batches the val split's scenes into one
+    # vmapped chain program (inference.batch_scenes)
+    scene_s_b, scene_moves_b = bench_scene_e2e_batched(
+        **(dict(h=256, w=256, n_obj=40, batch=2) if on_cpu else {})
+    )
+    return {"scene_e2e_seconds_per_scene_batched3": round(scene_s_b, 2),
+            "scene_e2e_batched_total_moves": int(scene_moves_b)}
+
+
+def _stage_superstep(det, dists, on_cpu, hb):
+    return {} if on_cpu else bench_superstep_cost()
+
+
+def _stage_baseline(det, dists, on_cpu, hb):
+    # vs_baseline denominator: a builder-authored sequential python chain
+    # with the reference's per-step work profile (the reference itself
+    # cannot run in this image — no shapely). hb refreshed per run so the
+    # hang watchdog cannot fire mid-baseline on a loaded 1-core host
+    # (ADVICE r4: the 3x1200-step pure-Python loop can exceed 900 s there).
+    base_mps, base_extra = baseline_median(det, dists, heartbeat=hb)
+    return {"baseline_seq_moves_per_sec": round(base_mps, 1), **base_extra}
+
+
+_STAGES = (
+    ("jax", _stage_jax),
+    ("cnn", _stage_cnn),
+    ("scene", _stage_scene),
+    ("scene_batched", _stage_scene_batched),
+    ("superstep", _stage_superstep),
+    ("baseline", _stage_baseline),
+)
+
+
 def main():
     from mpp_cnn_rs_object_detection_tpu.utils.config import (
         clear_device_yield,
@@ -477,6 +672,7 @@ def main():
         request_device_yield,
     )
 
+    _install_emergency_emitters()
     enable_persistent_compilation_cache()
     if os.environ.get("MPP_PLATFORM"):
         import jax
@@ -516,53 +712,42 @@ def _run_benchmarks(det, dists, on_cpu):
     # probe), which the except-clause re-exec below cannot catch. If no
     # bench stage completes for 900 s (cold compile of the largest program
     # is ~350 s, so this only fires on a genuine wedge), re-exec onto the
-    # labelled CPU fallback so the driver still gets a JSON line.
-    import threading
-
-    hb = {"t": time.time()}
+    # labelled CPU fallback so the driver still gets a JSON line. Disarmed
+    # (hb["done"]) once the stage loop finishes (ADVICE r4 medium).
+    hb = {"t": time.time(), "done": False}
 
     def _watch():
         while True:
             time.sleep(30.0)
+            if hb["done"]:
+                return
             if time.time() - hb["t"] > 900.0:
                 print("# bench hang watchdog: no stage progress in 900s; "
                       "re-exec on CPU backend", file=sys.stderr, flush=True)
                 if os.environ.get("MPP_PLATFORM") == "cpu":
+                    _emit(False, "watchdog on CPU: giving up")
                     os._exit(3)  # even the CPU run hung: give up loudly
                 env = dict(os.environ, MPP_PLATFORM="cpu")
                 os.execve(sys.executable,
                           [sys.executable, os.path.abspath(__file__)], env)
 
     threading.Thread(target=_watch, daemon=True).start()
+    scratch = _load_scratch()
     try:
-        # CPU fallback shrinks each stage so the JSON line still lands in
-        # minutes on the 1-core host (the full scene bench alone would cost
-        # ~350 s of compile + a long chain there); throughput units stay
-        # per-second so the numbers remain comparable, just noisier
-        jax_kw = dict(n_steps=600, batch=4) if on_cpu else {}
-        moves_per_sec, run_samples, _ = bench_jax(det, dists, **jax_kw)
-        hb["t"] = time.time()
-        cnn_tps, mfu_unet = bench_cnn_tiles(
-            **(dict(batch=2, n_reps=2) if on_cpu else {})
-        )
-        hb["t"] = time.time()
-        scene_s, scene_moves, scene_dets = bench_scene_e2e(
-            **(dict(h=256, w=256, n_obj=40) if on_cpu else {})
-        )
-        hb["t"] = time.time()
-        scene_s_b, scene_moves_b = bench_scene_e2e_batched(
-            **(dict(h=256, w=256, n_obj=40, batch=2) if on_cpu else {})
-        )
-        hb["t"] = time.time()
-        superstep_cost = (
-            {} if on_cpu
-            else bench_superstep_cost()
-        )
-        hb["t"] = time.time()
+        for name, fn in _STAGES:
+            if name in scratch:
+                print(f"# stage {name} already done "
+                      f"({scratch[name].get('platform')}); skipping",
+                      file=sys.stderr, flush=True)
+                continue
+            _save_stage(name, fn(det, dists, on_cpu, hb))
+            hb["t"] = time.time()
     except Exception as exc:
         # a mid-bench worker fault kills this process's client for good;
-        # re-exec once the device answers a probe again. Only device/runtime
-        # faults qualify — programming errors re-raise with their traceback.
+        # re-exec once the device answers a probe again (completed stages
+        # are on disk and will be skipped). Only device/runtime faults
+        # qualify — programming errors re-raise with their traceback, but
+        # still emit the best-known partial JSON first.
         import traceback
 
         name = type(exc).__name__
@@ -572,46 +757,17 @@ def _run_benchmarks(det, dists, on_cpu):
         )
         attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
         if not device_fault or attempt >= 3:
-            raise
+            traceback.print_exc()
+            _emit(False, f"fatal {name}")
+            return
         traceback.print_exc()
         print(f"# device error; re-exec attempt {attempt + 1}/3",
               file=sys.stderr, flush=True)
         env = dict(os.environ, BENCH_ATTEMPT=str(attempt + 1))
         os.execve(sys.executable,
                   [sys.executable, os.path.abspath(__file__)], env)
-    base_moves_per_sec, base_extra = baseline_median(det, dists)
-    spread = (max(run_samples) - min(run_samples)) / max(run_samples)
-    result = {
-        "metric": "rjmcmc_moves_per_sec",
-        "value": round(moves_per_sec, 1),  # MEDIAN of the re-warmed runs
-        "unit": "moves/s/chip",
-        # estimate: measured against a builder-authored sequential python
-        # chain with the reference's per-step work profile (the reference
-        # itself cannot run in this image — no shapely)
-        "vs_baseline": round(moves_per_sec / base_moves_per_sec, 2),
-        "extra": {
-            "platform": os.environ.get("MPP_PLATFORM", "tpu"),
-            "runs_min_max": [round(min(run_samples), 1),
-                             round(max(run_samples), 1)],
-            "runs_rel_spread": round(spread, 3),
-            # a skeptic-visible flag: >25% spread means the device was not
-            # quiet and the headline should not be quoted without context
-            "spread_ok": bool(spread <= 0.25),
-            "cnn_tiles_per_sec_256px": round(cnn_tps, 2),
-            "mfu_unet": round(mfu_unet, 4),
-            "scene_e2e_seconds_1024px": round(scene_s, 2),
-            "scene_e2e_moves": int(scene_moves),
-            "scene_e2e_detections": int(scene_dets),
-            # product path: the flagship batches the val split's scenes into
-            # one vmapped chain program (inference.batch_scenes)
-            "scene_e2e_seconds_per_scene_batched3": round(scene_s_b, 2),
-            "scene_e2e_batched_total_moves": int(scene_moves_b),
-            "baseline_seq_moves_per_sec": round(base_moves_per_sec, 1),
-            **base_extra,
-            **superstep_cost,
-        },
-    }
-    print(json.dumps(result))
+    hb["done"] = True
+    _emit(True)
 
 
 if __name__ == "__main__":

@@ -140,6 +140,15 @@ class _DetectorBase(BaseModel, PatchBasedTrainer):
             if ckpt is not None:
                 self.state, self.last_epoch = load_checkpoint(ckpt, self.state)
                 logging.info(f"restored {ckpt} (epoch {self.last_epoch})")
+            elif not train:
+                # inference from random init silently emits garbage AP rows
+                # (observed risk after a weights-deleting snapshot): fail
+                # loudly instead — the reference likewise hard-fails when no
+                # state_dict exists (base/base_model.py:35-49)
+                raise FileNotFoundError(
+                    f"no model.msgpack / checkpoint_*.msgpack under "
+                    f"{self.save_path}; train before infer/eval"
+                )
 
         self._build_steps()
         if train:
