@@ -110,6 +110,26 @@ def _run_forwarding_signals(cmd):
             proc.terminate()
         except OSError:
             pass
+        # SIGKILL escalation must NOT wait on proc.wait() returning — if the
+        # child catches/blocks SIGTERM (e.g. teardown wedged on a dead axon
+        # client, the exact failure this wrapper handles), the bare wait
+        # below never returns and the runbook's `timeout` (often invoked
+        # without -k) never escalates either, keeping the chip claim through
+        # the driver's bench window (ADVICE r4). A timer thread guarantees
+        # the kill regardless of what the main thread is blocked on.
+        import threading
+
+        def _kill_later():
+            time.sleep(30.0)
+            if proc.poll() is None:
+                print("[resilient_run] stage ignored SIGTERM for 30s; "
+                      "SIGKILL", flush=True)
+                try:
+                    proc.kill()
+                except OSError:
+                    pass
+
+        threading.Thread(target=_kill_later, daemon=True).start()
 
     old = {s: signal.signal(s, _forward)
            for s in (signal.SIGTERM, signal.SIGINT)}

@@ -23,6 +23,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = os.path.join(REPO, "workspace", "models_storage")
 DST = os.path.join(REPO, "artifacts", "models_storage")
+# evaluated AP metrics ride along with the weights: the r10dd headline rows
+# existed only as BASELINE.md prose after a VM wipe (VERDICT r4 weak #6) —
+# metrics JSONs are tiny and make every quoted table re-checkable
+SRC_METRICS = os.path.join(REPO, "workspace", "data", "inference")
+DST_METRICS = os.path.join(REPO, "artifacts", "inference_metrics")
 
 # metadata is tiny — always mirrored; heavy files are limited to the final
 # model and the single rolling checkpoint (previous ones are deleted by the
@@ -31,18 +36,24 @@ _KEEP_EXT = (".json", ".msgpack", ".npz")
 _SKIP_DIRS = ("figures",)
 
 
-def _files(root):
+def _files(root, name_filter=None):
     out = {}
     for dirpath, dirnames, filenames in os.walk(root):
         dirnames[:] = [d for d in dirnames if d not in _SKIP_DIRS]
         for f in filenames:
-            if f.endswith(_KEEP_EXT):
+            if f.endswith(_KEEP_EXT) and (
+                name_filter is None or name_filter(f)
+            ):
                 p = os.path.join(dirpath, f)
                 out[os.path.relpath(p, root)] = p
     return out
 
 
-def sync(src, dst, restore=False) -> int:
+def _is_metrics(name: str) -> bool:
+    return name.startswith("metrics") and name.endswith(".json")
+
+
+def sync(src, dst, restore=False, name_filter=None, delete=True) -> int:
     """Copy changed files src->dst. Returns the number of files copied.
 
     Snapshot direction (restore=False): skip files younger than 60 s (likely
@@ -53,8 +64,8 @@ def sync(src, dst, restore=False) -> int:
     a current mtime, so the freshness skip would silently restore 0 files;
     and the live workspace may hold NEWER not-yet-snapshotted checkpoints, so
     never delete and never overwrite a strictly-newer same-size dst file."""
-    src_files = _files(src) if os.path.isdir(src) else {}
-    dst_files = _files(dst) if os.path.isdir(dst) else {}
+    src_files = _files(src, name_filter) if os.path.isdir(src) else {}
+    dst_files = _files(dst, name_filter) if os.path.isdir(dst) else {}
     copied = 0
     now = time.time()
     for rel, p in src_files.items():
@@ -73,7 +84,7 @@ def sync(src, dst, restore=False) -> int:
         shutil.copy2(p, tmp)
         os.replace(tmp, q)  # atomic: a mid-copy crash never corrupts dst
         copied += 1
-    if not restore:
+    if not restore and delete:
         for rel in set(dst_files) - set(src_files):
             os.remove(os.path.join(dst, rel))
     return copied
@@ -181,16 +192,24 @@ def check_baseline_tables() -> bool:
 def main(argv):
     if "--restore" in argv:
         n = sync(DST, SRC, restore=True)
+        n += sync(DST_METRICS, SRC_METRICS, restore=True,
+                  name_filter=_is_metrics, delete=False)
         print(f"restored {n} file(s) from artifacts/ into workspace/")
         return 0
     if "--watch" in argv:
         while True:
             n = sync(SRC, DST)
+            n += sync(SRC_METRICS, DST_METRICS, name_filter=_is_metrics,
+                      delete=False)
             if n:
                 print(f"[snapshot] {n} file(s) @ {time.strftime('%H:%M:%S')}",
                       flush=True)
             time.sleep(600)
     n = sync(SRC, DST)
+    # never delete snapshotted metrics: workspace inference dirs are wiped
+    # with the VM, and the snapshot is exactly what survives that
+    n += sync(SRC_METRICS, DST_METRICS, name_filter=_is_metrics,
+              delete=False)
     docs_ok = update_bench_block() and check_baseline_tables()
     print(f"snapshotted {n} file(s) into artifacts/"
           + ("" if docs_ok else " [DOC-CONSISTENCY FAILURE]"))
