@@ -156,6 +156,9 @@ class ShapeNetModel(BaseModel, PatchBasedTrainer):
                 focal_loss=focal,
                 focal_alpha=focal_args.get("alpha", 0.5),
                 focal_gamma=focal_args.get("gamma", 2.0),
+                label_smoothing_sigma=float(
+                    loss_cfg.get("label_smoothing_sigma", 0.0)
+                ),
             )
             new_stats = mutated["batch_stats"] if train else batch_stats
             return loss_dict["loss"], (loss_dict, new_stats)

@@ -261,3 +261,42 @@ def test_checkpoint_restore_across_optimizer_change(tmp_path):
         ),
     )
     assert epoch2 == 7 and float(same.params["w"][0]) == 1.0
+
+
+def test_pixel_ce_label_smoothing():
+    """Soft ordinal targets: sigma=0 is exact hard-CE parity; sigma>0
+    prefers near-miss mass over far-miss mass, with cyclic wrap on the
+    angle head (round-5 ratio/mark-quality lever)."""
+    import jax.numpy as jnp
+
+    from mpp_cnn_rs_object_detection_tpu.models.losses import pixel_ce_loss
+
+    n_cls = 32
+    tgt = jnp.zeros((1, 2, 2), jnp.int32)  # target bin 0 everywhere
+    mask = jnp.full((1, 2, 2), 0.25, jnp.float32)
+
+    def logits_peaked_at(b):
+        z = jnp.full((1, 2, 2, n_cls), -5.0, jnp.float32)
+        return z.at[..., b].set(5.0)
+
+    # sigma=0 == hard CE, bit-for-bit
+    for b in (0, 1, 16):
+        hard = pixel_ce_loss([logits_peaked_at(b)], [tgt], mask)["loss"]
+        soft0 = pixel_ce_loss([logits_peaked_at(b)], [tgt], mask,
+                              label_smoothing_sigma=0.0)["loss"]
+        assert float(hard) == float(soft0)
+
+    # sigma>0 (non-cyclic head 0): near miss < far miss, exact hit smallest
+    kw = dict(label_smoothing_sigma=1.0, cyclic_heads=())
+    l_hit = pixel_ce_loss([logits_peaked_at(0)], [tgt], mask, **kw)["loss"]
+    l_near = pixel_ce_loss([logits_peaked_at(1)], [tgt], mask, **kw)["loss"]
+    l_far = pixel_ce_loss([logits_peaked_at(16)], [tgt], mask, **kw)["loss"]
+    assert float(l_hit) < float(l_near) < float(l_far)
+
+    # cyclic head: bin 31 is adjacent to target bin 0
+    kwc = dict(label_smoothing_sigma=1.0, cyclic_heads=(0,))
+    l_wrap = pixel_ce_loss([logits_peaked_at(31)], [tgt], mask, **kwc)["loss"]
+    l_near_c = pixel_ce_loss([logits_peaked_at(1)], [tgt], mask, **kwc)["loss"]
+    l_far_c = pixel_ce_loss([logits_peaked_at(16)], [tgt], mask, **kwc)["loss"]
+    assert abs(float(l_wrap) - float(l_near_c)) < 1e-5
+    assert float(l_wrap) < float(l_far_c)
