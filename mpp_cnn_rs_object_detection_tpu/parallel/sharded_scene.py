@@ -216,9 +216,15 @@ def run_exact_scene_chain(key, init_state: PointsState, maps: EnergyMaps,
     n = mesh.devices.size
     assert spec.data_term == "cnn", "sharded scene supports the CNN data term"
     assert h % n == 0, f"scene rows {h} not divisible by mesh size {n}"
-    assert CELL <= h // n, (
-        f"halo {CELL} exceeds band height {h // n} — fewer devices or a "
-        f"taller scene required"
+    # the band must cover a FULL jittered cell (2*CELL), not just the halo:
+    # a cell's jittered origin can place its extent up to 2*CELL from the
+    # owning band's midpoint rows. band == CELL was measured to silently
+    # diverge from the single-device chain (dryrun probe 2026-08-21:
+    # 5 vs 6 detections on an 8-band 256-row scene) — exactness, not an
+    # optimization, so this is a hard error
+    assert 2 * CELL <= h // n, (
+        f"band height {h // n} < 2*CELL ({2 * CELL}): cross-band cells "
+        f"would read outside the halo — use fewer devices or a taller scene"
     )
 
     rows = NamedSharding(mesh, P(AXIS))
