@@ -388,6 +388,10 @@ class MPPModel(BaseModel):
         # branch — the dispatch-bound superstep's biggest op-count lever);
         # same statistical mixture, different chains
         move_switch = bool(rj_cfg.get("superstep_move_switch", False))
+        # optional split/merge pair in the cell-parallel superstep
+        # (reference split_and_merge_kernels.py:14-178; cell-confined
+        # variants, see parallel_sampler._cell_proposal)
+        split_merge = bool(rj_cfg.get("superstep_split_merge", False))
 
         # batched exact mode: all pending scenes share one shape-bucketed
         # program signature, so their chains run as ONE vmapped launch
@@ -440,6 +444,7 @@ class MPPModel(BaseModel):
                     segment_size=segment_size,
                     data_moves=data_moves,
                     move_switch=move_switch,
+                    split_merge=split_merge,
                 )
                 batch_results = dict(zip(pending, results))
                 batch_datas = dict(zip(pending, datas))
@@ -559,6 +564,7 @@ class MPPModel(BaseModel):
                     stopping=make_stopping(),
                     data_moves=data_moves,
                     move_switch=move_switch,
+                    split_merge=split_merge,
                 )
             t_chain = time.perf_counter() - t_stage
             t_stage = time.perf_counter()

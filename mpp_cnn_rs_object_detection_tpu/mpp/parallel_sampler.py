@@ -37,10 +37,13 @@ from mpp_cnn_rs_object_detection_tpu.mpp.combinators import EnergyCombiner
 from mpp_cnn_rs_object_detection_tpu.mpp.energies import EnergyMaps, EnergySpec
 from mpp_cnn_rs_object_detection_tpu.mpp.kernels import (
     EPS,
+    MERGE_RADIUS,
     KernelData,
     _class_to_value,
+    _clip_marks,
     _log,
     _normal_logpdf,
+    _split_logpdf,
 )
 from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import (
     ChainStats,
@@ -108,7 +111,7 @@ def make_local_view(kd: KernelData, maps: EnergyMaps) -> MapView:
 def _cell_proposal(key, state: PointsState, kd: KernelData, view: MapView,
                    h: int, w: int, y0: Array, x0: Array,
                    free_slot: Array, free_ok: Array,
-                   data_moves: bool = True):
+                   data_moves: bool = True, split_merge: bool = False):
     """One MH proposal confined to the cell [y0, y0+CELL) x [x0, x0+CELL).
 
     Births sample their pixel from the cell's window of the detection
@@ -151,9 +154,18 @@ def _cell_proposal(key, state: PointsState, kd: KernelData, view: MapView,
     lam_cell = kd.intensity * area / float(h * w)
 
     move_t = jax.random.uniform(k_type)
-    is_birth = move_t < P_BIRTH
-    is_death = (move_t >= P_BIRTH) & (move_t < P_BIRTH + P_DEATH)
-    is_trl = (move_t >= P_BIRTH + P_DEATH) & (move_t < P_BIRTH + P_DEATH + P_TRL)
+    # With the optional split/merge pair enabled (reference
+    # ``split_and_merge_kernels.py:14-178``; config
+    # ``rjmcmc_params.superstep_split_merge``), the four base families scale
+    # 0.25 -> 0.2 and split/merge take 0.1 each. Only the RATIO of paired
+    # family probabilities enters the Green factors (birth/death equal,
+    # split/merge equal), so the existing fwd/back terms are unchanged.
+    pb = 0.2 if split_merge else P_BIRTH
+    is_birth = move_t < pb
+    is_death = (move_t >= pb) & (move_t < 2 * pb)
+    is_trl = (move_t >= 2 * pb) & (move_t < 3 * pb)
+    is_split = split_merge & (move_t >= 4 * pb) & (move_t < 4 * pb + 0.1)
+    is_merge = split_merge & (move_t >= 4 * pb + 0.1)
 
     # ---- birth: position ~ cell-windowed detection density, data marks
     win = jax.lax.dynamic_slice(
@@ -349,7 +361,98 @@ def _cell_proposal(key, state: PointsState, kd: KernelData, view: MapView,
         is_birth, birth_back,
         jnp.where(is_death, death_back, jnp.where(is_trl, trl_back, trf_back)),
     )
-    return kind, slot, xy, marks, log_fwd, log_back
+    slot2 = jnp.asarray(-1, jnp.int32)
+    xy2 = jnp.zeros((2,), jnp.float32)
+    marks2 = jnp.zeros((3,), jnp.float32)
+    if not split_merge:
+        return kind, slot, xy, marks, log_fwd, log_back, slot2, xy2, marks2
+
+    # ---- split/merge (cell-confined variants of the reference pair,
+    # ``split_and_merge_kernels.py:14-178``; same displacement density as
+    # the sequential kernels, ``mpp.kernels._split_kernel/_merge_kernel``,
+    # with cell-local counts n_cell replacing the global n and both
+    # children/the partner constrained to the cell so simultaneous cell
+    # proposals stay non-interacting — the same clipping argument the
+    # translation move documents above).
+    k_sm1 = jax.random.fold_in(key, 1001)
+    k_sm2 = jax.random.fold_in(key, 1002)
+    k_sm3 = jax.random.fold_in(key, 1003)
+    k_sm4 = jax.random.fold_in(key, 1004)
+
+    cell_lo = jnp.stack([ylo, xlo]).astype(jnp.float32)
+    cell_hi = jnp.stack([yhi - 1, xhi - 1]).astype(jnp.float32)
+    p0 = state.xy[safe_slot]
+    m0 = state.marks[safe_slot]
+
+    # split: children at p0 -/+ delta (uniform positive-quadrant disk of
+    # radius MERGE_RADIUS x per-mark gaussians), clipped into the cell
+    rho = MERGE_RADIUS * jnp.sqrt(jax.random.uniform(k_sm1))
+    theta = jax.random.uniform(k_sm2, maxval=jnp.pi / 2)
+    pos_delta = rho * jnp.array([jnp.cos(theta), jnp.sin(theta)])
+    sm_sigmas = 0.1 * (kd.map_vmax - kd.map_vmin)
+    shape_delta = sm_sigmas * jax.random.normal(k_sm3, (3,))
+    sp_xy_a = jnp.clip(p0 - pos_delta, cell_lo, cell_hi)
+    sp_xy_b = jnp.clip(p0 + pos_delta, cell_lo, cell_hi)
+    sp_marks_a = _clip_marks(kd, m0 - shape_delta)
+    sp_marks_b = _clip_marks(kd, m0 + shape_delta)
+    sp_fwd = (
+        _log(jnp.asarray(0.1)) - _log(n_cell)
+        + _split_logpdf(kd, pos_delta, shape_delta) - _log(lam_cell)
+    )
+    # backward merge picks either child then its sibling; neighbour counts
+    # over the post-split in-cell set (in-cell points minus the parent,
+    # plus the sibling — mirrored from the sequential kernel's formula)
+    others_mask = in_cell & (jnp.arange(state.capacity) != safe_slot)
+    d_a = jnp.linalg.norm(state.xy - sp_xy_a[None, :], axis=-1)
+    d_b = jnp.linalg.norm(state.xy - sp_xy_b[None, :], axis=-1)
+    nn_a = jnp.sum(others_mask & (d_a <= MERGE_RADIUS)) + 1
+    nn_b = jnp.sum(others_mask & (d_b <= MERGE_RADIUS)) + 1
+    sp_back = _log(jnp.asarray(0.1)) + _log(
+        (1.0 / (n_cell + 1.0)) * (1.0 / nn_a + 1.0 / nn_b)
+    )
+    split_ok = pick_ok & free_ok & cell_ok
+
+    # merge: partner uniform among in-cell points within MERGE_RADIUS
+    d0 = jnp.linalg.norm(state.xy - p0[None, :], axis=-1)
+    mg_mask = others_mask & (d0 <= MERGE_RADIUS)
+    n_nb = jnp.sum(mg_mask)
+    nb_slot = jnp.where(
+        n_nb > 0,
+        jax.random.categorical(k_sm4, jnp.where(mg_mask, 0.0, -jnp.inf)),
+        safe_slot,
+    )
+    p1 = state.xy[nb_slot]
+    m1 = state.marks[nb_slot]
+    mg_xy = jnp.clip((p0 + p1) / 2.0, cell_lo, cell_hi)
+    mg_marks = _clip_marks(kd, (m0 + m1) / 2.0)
+    mg_fwd = (
+        _log(jnp.asarray(0.1)) - _log(n_cell)
+        - _log(n_nb.astype(jnp.float32))
+    )
+    mg_back = (
+        _log(jnp.asarray(0.1)) - _log(n_cell - 1.0)
+        + _split_logpdf(kd, (p0 - p1) / 2.0, (m0 - m1) / 2.0)
+        - _log(lam_cell)
+    )
+    merge_ok = pick_ok & (n_nb > 0) & (n_cell >= 2)
+
+    sm = is_split | is_merge
+    kind = jnp.where(
+        is_split, jnp.where(split_ok, 4, 0),
+        jnp.where(is_merge, jnp.where(merge_ok, 5, 0), kind),
+    )
+    slot = jnp.where(sm, safe_slot, slot)
+    xy = jnp.where(is_split, sp_xy_a, jnp.where(is_merge, mg_xy, xy))
+    marks = jnp.where(is_split, sp_marks_a,
+                      jnp.where(is_merge, mg_marks, marks))
+    log_fwd = jnp.where(is_split, sp_fwd, jnp.where(is_merge, mg_fwd, log_fwd))
+    log_back = jnp.where(is_split, sp_back,
+                         jnp.where(is_merge, mg_back, log_back))
+    slot2 = jnp.where(is_split, free_slot,
+                      jnp.where(is_merge, nb_slot, slot2)).astype(jnp.int32)
+    xy2 = jnp.where(is_split, sp_xy_b, xy2)
+    marks2 = jnp.where(is_split, sp_marks_b, marks2)
+    return kind, slot, xy, marks, log_fwd, log_back, slot2, xy2, marks2
 
 
 def _type_probs(data_moves: bool) -> np.ndarray:
@@ -563,7 +666,11 @@ def _cell_proposal_switched(key, move_type, state: PointsState,
     )
     # guard the degenerate lanes exactly like the per-cell variant
     kind = jnp.where(cell_ok, kind, 0)
-    return kind, slot, xy, marks, fwd, back
+    # switched variant carries no split/merge (non-default path; the pair is
+    # available through the per-cell draws only)
+    return (kind, slot, xy, marks, fwd, back,
+            jnp.asarray(-1, jnp.int32), jnp.zeros((2,), jnp.float32),
+            jnp.zeros((3,), jnp.float32))
 
 
 def _unary_at(maps: EnergyMaps, spec: EnergySpec, xy: Array, marks: Array,
@@ -628,7 +735,7 @@ def _vec_cols(spec: EnergySpec, maps: EnergyMaps, pos, mark3, ov, al, area,
 def superstep_deltas(state: PointsState, cache: EnergyCache, maps: EnergyMaps,
                      spec: EnergySpec, comb: EnergyCombiner,
                      kinds, slots, xys, markss, view: MapView = None,
-                     hw=None):
+                     hw=None, slots2=None, xys2=None, markss2=None):
     """Exact ΔU of ``m`` single-slot proposals against the SAME base state,
     in O(m*K) — no per-candidate cache copies.
 
@@ -640,7 +747,16 @@ def superstep_deltas(state: PointsState, cache: EnergyCache, maps: EnergyMaps,
     neighbour's new reduced term, and only the touched columns of its energy
     vector are re-combined. Exactness is pinned against the brute-force delta
     in tests. Valid for the parallel sampler's kinds (birth=1 / death=2 /
-    single-slot move=3)."""
+    single-slot move=3).
+
+    With ``slots2``/``xys2``/``markss2`` (the split/merge pair: split=4
+    modifies ``slot`` and births ``slot2``; merge=5 modifies ``slot`` and
+    kills ``slot2``) the same scheme generalises to two-slot proposals via
+    TOP-3 statistics: removing up to two columns of a neighbour's masked row
+    falls through t1->t2->t3, and up to two fresh values (plus the
+    children's mutual pair term) are inserted. Single-slot lanes in the
+    batch keep their exact deltas (``slot2 < 0`` disables the second-slot
+    terms)."""
     from mpp_cnn_rs_object_detection_tpu.mpp.combinators import (
         combine as _combine,
     )
@@ -751,7 +867,139 @@ def superstep_deltas(state: PointsState, cache: EnergyCache, maps: EnergyMaps,
         pp_s_old = jnp.where(alive[s], pp_raw[s], 0.0)
         return pp_s_new - pp_s_old + d_others
 
-    deltas = jax.vmap(delta_one)(kinds, slots, xys, markss)
+    if slots2 is None:
+        deltas = jax.vmap(delta_one)(kinds, slots, xys, markss)
+        return jnp.where(kinds == 0, 0.0, deltas)
+
+    # ---- two-slot path (split/merge enabled): TOP-3 leave-two-out
+    def top3s(values, mask, sign):
+        v = jnp.where(mask, sign * values, -jnp.inf)
+        t1 = jnp.max(v, axis=1)
+        a1 = jnp.argmax(v, axis=1)
+        v2 = v.at[jnp.arange(k), a1].set(-jnp.inf)
+        t2 = jnp.max(v2, axis=1)
+        a2 = jnp.argmax(v2, axis=1)
+        t3 = jnp.max(v2.at[jnp.arange(k), a2].set(-jnp.inf), axis=1)
+        return t1, a1, t2, a2, t3
+
+    ov1_, ova1, ov2_, ova2, ov3_ = top3s(cache.overlap, ov_mask, ov_sign)
+    al1_, ala1, al2_, ala2, al3_ = top3s(cache.align, al_mask, al_sign)
+
+    def pair_terms(xy_c, marks_c):
+        poly_c = marks_to_poly(
+            xy_c[None], marks_c[0][None], marks_c[1][None], marks_c[2][None]
+        )[0]
+        area_c = rect_area(marks_c[0], marks_c[1])
+        dist_row = jnp.linalg.norm(state.xy - xy_c[None, :], axis=-1)
+        inter = quad_intersection_area_matrix(poly_c[None], cache.polys)[0]
+        ov_row = inter / (jnp.minimum(cache.areas, area_c) + 1e-6)
+        al_row = (
+            1.0 - jnp.abs(jnp.cos(marks_c[2] - state.marks[:, 2]))
+            - float(spec.rewarding_align)
+        )
+        return poly_c, area_c, dist_row, ov_row, al_row
+
+    def delta_two(kind, slot, xy, marks, slot2, xy2, marks2):
+        s = jnp.clip(slot, 0, k - 1)
+        has2 = (kind == 4) | (kind == 5)
+        s2 = jnp.clip(slot2, 0, k - 1)
+        alive_s_new = kind != 2
+        alive_s2_new = kind == 4
+
+        _, area_s, dist_s, ovr_s, alr_s = pair_terms(xy, marks)
+        poly2, area_s2, dist_s2, ovr_s2, alr_s2 = pair_terms(xy2, marks2)
+
+        others = alive & (idx != s) & ~(has2 & (idx == s2))
+        ovm_s = alive_s_new & others & (dist_s <= spec.overlap_max_dist)
+        alm_s = alive_s_new & others & (dist_s <= spec.align_max_dist)
+        ovm_s2 = alive_s2_new & others & (dist_s2 <= spec.overlap_max_dist)
+        alm_s2 = alive_s2_new & others & (dist_s2 <= spec.align_max_dist)
+
+        colS_ov = ov_mask[:, s]
+        colS_al = al_mask[:, s]
+        colS2_ov = has2 & ov_mask[:, s2]
+        colS2_al = has2 & al_mask[:, s2]
+
+        def red2(t1, a1, t2, a2, t3, n, colS, colS2, newS, valS,
+                 newS2, valS2, sign):
+            rm1 = ((a1 == s) & colS) | ((a1 == s2) & colS2)
+            rm2 = ((a2 == s) & colS) | ((a2 == s2) & colS2)
+            ext_wo = jnp.where(rm1, jnp.where(rm2, t3, t2), t1)
+            n_wo = n - colS - colS2
+            ext_new = jnp.maximum(
+                ext_wo, jnp.where(newS, sign * valS, -jnp.inf)
+            )
+            ext_new = jnp.maximum(
+                ext_new, jnp.where(newS2, sign * valS2, -jnp.inf)
+            )
+            n_new = n_wo + newS + newS2
+            return jnp.where(n_new > 0, sign * ext_new, 0.0)
+
+        ov_red_new = red2(ov1_, ova1, ov2_, ova2, ov3_, ov_n,
+                          colS_ov, colS2_ov, ovm_s, ovr_s, ovm_s2, ovr_s2,
+                          ov_sign)
+        al_red_new = red2(al1_, ala1, al2_, ala2, al3_, al_n,
+                          colS_al, colS2_al, alm_s, alr_s, alm_s2, alr_s2,
+                          al_sign)
+        vec_new = base_vec.at[:, ov_col].set(ov_red_new)
+        vec_new = vec_new.at[:, al_col].set(al_red_new)
+        pp_new = _combine(comb, vec_new)
+        d_others = jnp.sum(jnp.where(others, pp_new - pp_raw, 0.0))
+
+        # mutual pair term between the two children (split only)
+        d_ab = jnp.linalg.norm(xy - xy2)
+        poly_a = marks_to_poly(
+            xy[None], marks[0][None], marks[1][None], marks[2][None]
+        )[0]
+        inter_ab = quad_intersection_area_matrix(poly_a[None], poly2[None])[
+            0, 0
+        ]
+        ov_ab = inter_ab / (jnp.minimum(area_s, area_s2) + 1e-6)
+        al_ab = (
+            1.0 - jnp.abs(jnp.cos(marks[2] - marks2[2]))
+            - float(spec.rewarding_align)
+        )
+        mut = alive_s_new & alive_s2_new
+        mut_ov = mut & (d_ab <= spec.overlap_max_dist)
+        mut_al = mut & (d_ab <= spec.align_max_dist)
+
+        def cand_red(new_mask, vals, mut_ok, mut_val, sign):
+            ext = jnp.max(
+                jnp.where(new_mask, sign * vals, -jnp.inf), initial=-jnp.inf
+            )
+            ext = jnp.maximum(
+                ext, jnp.where(mut_ok, sign * mut_val, -jnp.inf)
+            )
+            n_c = jnp.sum(new_mask) + mut_ok
+            return jnp.where(n_c > 0, sign * ext, 0.0)
+
+        ov_s = cand_red(ovm_s, ovr_s, mut_ov, ov_ab, ov_sign)
+        al_s = cand_red(alm_s, alr_s, mut_al, al_ab, al_sign)
+        pos_s, mark_s = _unary_at(maps, spec, xy, marks, view=view, hw=hw)
+        vec_s = _vec_cols(spec, maps, pos_s, mark_s, ov_s, al_s, area_s,
+                          marks[1])
+        pp_s_new = jnp.where(
+            alive_s_new, _combine(comb, vec_s[None])[0], 0.0
+        )
+
+        ov_s2 = cand_red(ovm_s2, ovr_s2, mut_ov, ov_ab, ov_sign)
+        al_s2 = cand_red(alm_s2, alr_s2, mut_al, al_ab, al_sign)
+        pos_s2, mark_s2 = _unary_at(maps, spec, xy2, marks2, view=view,
+                                    hw=hw)
+        vec_s2 = _vec_cols(spec, maps, pos_s2, mark_s2, ov_s2, al_s2,
+                           area_s2, marks2[1])
+        pp_s2_new = jnp.where(
+            alive_s2_new, _combine(comb, vec_s2[None])[0], 0.0
+        )
+
+        pp_old = (
+            jnp.where(alive[s], pp_raw[s], 0.0)
+            + jnp.where(has2 & alive[s2], pp_raw[s2], 0.0)
+        )
+        return pp_s_new + pp_s2_new - pp_old + d_others
+
+    deltas = jax.vmap(delta_two)(kinds, slots, xys, markss,
+                                 slots2, xys2, markss2)
     return jnp.where(kinds == 0, 0.0, deltas)
 
 
@@ -769,8 +1017,9 @@ def _apply_one(state: PointsState, kind, slot, xy, marks) -> PointsState:
 
 
 def _apply_batch(state: PointsState, cache: EnergyCache, spec: EnergySpec,
-                 kinds, slots, xys, markss, pos_us, mark_us, accept
-                 ) -> Tuple[PointsState, EnergyCache]:
+                 kinds, slots, xys, markss, pos_us, mark_us, accept,
+                 slots2=None, xys2=None, markss2=None, pos_us2=None,
+                 mark_us2=None) -> Tuple[PointsState, EnergyCache]:
     """Apply ALL accepted proposals of a superstep in one batched scatter.
 
     Accepted proposals touch pairwise-distinct slots (cells are disjoint;
@@ -791,7 +1040,9 @@ def _apply_batch(state: PointsState, cache: EnergyCache, spec: EnergySpec,
     safe = jnp.clip(slots, 0, k - 1)
     # out-of-range target => update dropped; non-accepted lanes route to K
     tgt = jnp.where(accept, safe, k)
-    write_geom = accept & ((kinds == 1) | (kinds == 3))
+    write_geom = accept & (
+        (kinds == 1) | (kinds == 3) | (kinds == 4) | (kinds == 5)
+    )
     tgt_geom = jnp.where(write_geom, safe, k)
 
     new_xy = state.xy.at[tgt_geom].set(xys, mode="drop")
@@ -802,12 +1053,31 @@ def _apply_batch(state: PointsState, cache: EnergyCache, spec: EnergySpec,
         state.alive.at[tgt_birth].set(True, mode="drop")
         .at[tgt_death].set(False, mode="drop")
     )
-    state2 = state.replace(xy=new_xy, marks=new_marks, alive=new_alive)
 
     polys_new = marks_to_poly(xys, markss[:, 0], markss[:, 1], markss[:, 2])
     areas_new = rect_area(markss[:, 0], markss[:, 1])
     polys = cache.polys.at[tgt_geom].set(polys_new, mode="drop")
     areas = cache.areas.at[tgt_geom].set(areas_new, mode="drop")
+
+    if slots2 is not None:
+        # second slot of split (4: birth at slot2) / merge (5: slot2 dies)
+        safe2 = jnp.clip(slots2, 0, k - 1)
+        tgt2_geom = jnp.where(accept & (kinds == 4), safe2, k)
+        tgt2_death = jnp.where(accept & (kinds == 5), safe2, k)
+        new_xy = new_xy.at[tgt2_geom].set(xys2, mode="drop")
+        new_marks = new_marks.at[tgt2_geom].set(markss2, mode="drop")
+        new_alive = (
+            new_alive.at[tgt2_geom].set(True, mode="drop")
+            .at[tgt2_death].set(False, mode="drop")
+        )
+        polys2_new = marks_to_poly(
+            xys2, markss2[:, 0], markss2[:, 1], markss2[:, 2]
+        )
+        areas2_new = rect_area(markss2[:, 0], markss2[:, 1])
+        polys = polys.at[tgt2_geom].set(polys2_new, mode="drop")
+        areas = areas.at[tgt2_geom].set(areas2_new, mode="drop")
+
+    state2 = state.replace(xy=new_xy, marks=new_marks, alive=new_alive)
 
     # batched pair rows of every touched slot vs the FINAL state: (m, K)
     xy_u = state2.xy[safe]
@@ -820,16 +1090,44 @@ def _apply_batch(state: PointsState, cache: EnergyCache, spec: EnergySpec,
     dangle = state2.marks[safe, 2][:, None] - state2.marks[None, :, 2]
     align_rows = 1.0 - jnp.abs(jnp.cos(dangle)) - float(spec.rewarding_align)
 
-    def set_row_col(mat, rows):
-        mat = mat.at[tgt, :].set(rows, mode="drop")
-        return mat.at[:, tgt].set(rows.T, mode="drop")
+    def set_row_col(mat, rows, at):
+        mat = mat.at[at, :].set(rows, mode="drop")
+        return mat.at[:, at].set(rows.T, mode="drop")
+
+    dist_m = set_row_col(cache.dist, dist_rows, tgt)
+    ov_m = set_row_col(cache.overlap, overlap_rows, tgt)
+    al_m = set_row_col(cache.align, align_rows, tgt)
+    pos_m = cache.pos_e.at[tgt].set(pos_us, mode="drop")
+    mark_m = cache.mark_e.at[tgt].set(mark_us, mode="drop")
+
+    if slots2 is not None:
+        # refresh the second slot's rows for split births (vs the SAME
+        # final state, so the (s, s2) entry agrees between both scatters);
+        # a merged-away slot needs no refresh — its entries are dead-masked
+        tgt2 = jnp.where(accept & (kinds == 4), safe2, k)
+        xy_u2 = state2.xy[safe2]
+        dist_rows2 = jnp.linalg.norm(
+            state2.xy[None, :, :] - xy_u2[:, None, :], axis=-1
+        )
+        inter2 = quad_intersection_area_matrix(polys[safe2], polys)
+        min_area2 = jnp.minimum(areas[None, :], areas[safe2][:, None])
+        overlap_rows2 = inter2 / (min_area2 + 1e-6)
+        dangle2 = state2.marks[safe2, 2][:, None] - state2.marks[None, :, 2]
+        align_rows2 = (
+            1.0 - jnp.abs(jnp.cos(dangle2)) - float(spec.rewarding_align)
+        )
+        dist_m = set_row_col(dist_m, dist_rows2, tgt2)
+        ov_m = set_row_col(ov_m, overlap_rows2, tgt2)
+        al_m = set_row_col(al_m, align_rows2, tgt2)
+        pos_m = pos_m.at[tgt2].set(pos_us2, mode="drop")
+        mark_m = mark_m.at[tgt2].set(mark_us2, mode="drop")
 
     cache2 = EnergyCache(
-        dist=set_row_col(cache.dist, dist_rows),
-        overlap=set_row_col(cache.overlap, overlap_rows),
-        align=set_row_col(cache.align, align_rows),
-        pos_e=cache.pos_e.at[tgt].set(pos_us, mode="drop"),
-        mark_e=cache.mark_e.at[tgt].set(mark_us, mode="drop"),
+        dist=dist_m,
+        overlap=ov_m,
+        align=al_m,
+        pos_e=pos_m,
+        mark_e=mark_m,
         polys=polys,
         areas=areas,
     )
@@ -840,7 +1138,8 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
                        kd: KernelData, alpha_t: float, t_target: float,
                        n_cells: int, view: MapView = None, hw=None,
                        axis_name: str = None, n_bands: int = 1,
-                       data_moves: bool = True, move_switch: bool = False):
+                       data_moves: bool = True, move_switch: bool = False,
+                       split_merge: bool = False):
     """Superstep over ``n_cells`` x ``n_cells`` active cells.
 
     With ``axis_name`` set the step runs inside ``shard_map`` over ``n_bands``
@@ -899,28 +1198,40 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
             # (the superstep is dispatch-bound; per-cell type draws traced
             # every family for every cell)
             mtype = jax.random.categorical(k_mtype, type_logp)
-            kinds, slots, xys, markss, log_fwds, log_backs = jax.vmap(
+            (kinds, slots, xys, markss, log_fwds, log_backs,
+             slots2, xys2, markss2) = jax.vmap(
                 lambda k, y0, x0, fs, fo: _cell_proposal_switched(
                     k, mtype, state, kd, view, h, w, y0, x0, fs, fo,
                 )
             )(keys, y0s, x0s, free_slots, free_oks)
         else:
-            kinds, slots, xys, markss, log_fwds, log_backs = jax.vmap(
+            (kinds, slots, xys, markss, log_fwds, log_backs,
+             slots2, xys2, markss2) = jax.vmap(
                 lambda k, y0, x0, fs, fo: _cell_proposal(
                     k, state, kd, view, h, w, y0, x0, fs, fo,
-                    data_moves=data_moves,
+                    data_moves=data_moves, split_merge=split_merge,
                 )
             )(keys, y0s, x0s, free_slots, free_oks)
 
         # per-proposal ΔU (exact; proposals are pairwise non-interacting);
         # top-2 incremental form — O(m*K), no per-candidate cache copies
+        # (top-3 when the split/merge pair is enabled)
+        sm_kw = (
+            dict(slots2=slots2, xys2=xys2, markss2=markss2)
+            if split_merge else {}
+        )
         deltas = superstep_deltas(
             state, cache, maps, spec, comb, kinds, slots, xys, markss,
-            view=view, hw=(h, w),
+            view=view, hw=(h, w), **sm_kw,
         )
         pos_us, mark_us = jax.vmap(
             lambda xy, mk: _unary_at(maps, spec, xy, mk, view=view, hw=(h, w))
         )(xys, markss)
+        if split_merge:
+            pos_us2, mark_us2 = jax.vmap(
+                lambda xy, mk: _unary_at(maps, spec, xy, mk, view=view,
+                                         hw=(h, w))
+            )(xys2, markss2)
 
         log_alpha = -deltas / temp + log_backs - log_fwds
         accept = (
@@ -943,12 +1254,23 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
             deltas = merge(deltas)
             pos_us, mark_us = merge(pos_us), merge(mark_us)
             accept = merge(accept, is_bool=True)
+            if split_merge:
+                # slot2 is -1 on inactive lanes; psum of masked (-1 -> 0)
+                # would corrupt it, so shift to 0-based before the merge
+                slots2 = merge(slots2 + 1) - 1
+                xys2, markss2 = merge(xys2), merge(markss2)
+                pos_us2, mark_us2 = merge(pos_us2), merge(mark_us2)
 
         # apply all accepted proposals in one batched scatter (they touch
         # pairwise-distinct slots and cannot interact)
+        apply_kw = (
+            dict(slots2=slots2, xys2=xys2, markss2=markss2,
+                 pos_us2=pos_us2, mark_us2=mark_us2)
+            if split_merge else {}
+        )
         state, cache = _apply_batch(
             state, cache, spec, kinds, slots, xys, markss, pos_us, mark_us,
-            accept,
+            accept, **apply_kw,
         )
         energy = energy + jnp.sum(jnp.where(accept, deltas, 0.0))
         temp = jnp.where(temp > t_target, temp * alpha_t, temp)
@@ -961,20 +1283,22 @@ def make_parallel_step(maps: EnergyMaps, spec: EnergySpec, comb: EnergyCombiner,
 @partial(
     jax.jit,
     static_argnames=("spec", "n_supersteps", "alpha_t", "t_target",
-                     "data_moves", "move_switch"),
+                     "data_moves", "move_switch", "split_merge"),
 )
 def run_parallel_chain(key, init_state: PointsState, maps: EnergyMaps,
                        spec: EnergySpec, comb: EnergyCombiner, kd: KernelData,
                        n_supersteps: int, t0: float = 1.0,
                        alpha_t: float = 0.999, t_target: float = 0.0,
-                       data_moves: bool = True, move_switch: bool = False
+                       data_moves: bool = True, move_switch: bool = False,
+                       split_merge: bool = False
                        ) -> Tuple[PointsState, ChainStats]:
     """Anneal with cell-parallel supersteps; one superstep proposes up to
     (H/(2*CELL)+1)^2 simultaneous moves."""
     h, w = kd.log_birth_density.shape
     n_cells = max(h, w) // (2 * CELL) + 1
     step = make_parallel_step(maps, spec, comb, kd, alpha_t, t_target, n_cells,
-                              data_moves=data_moves, move_switch=move_switch)
+                              data_moves=data_moves, move_switch=move_switch,
+                              split_merge=split_merge)
     cache0 = build_cache(init_state, maps, spec)
     u0 = energy_from_cache(init_state, maps, spec, comb, cache0)
     keys = jax.random.split(key, n_supersteps)

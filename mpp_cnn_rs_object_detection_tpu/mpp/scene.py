@@ -132,7 +132,8 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                     mesh=None, polish_steps: int = 0,
                     restarts: int = 1, stopping=None,
                     data_moves: bool = True,
-                    move_switch: bool = False) -> Optional[SceneResult]:
+                    move_switch: bool = False,
+                    split_merge: bool = False) -> Optional[SceneResult]:
     """EXACT whole-scene MPP: one global cell-parallel chain over the full
     maps — no tiling, no ``merge_patch_results`` distance-dedup; optionally
     row-sharded over ``mesh`` with halo-exact cross-band pair energies
@@ -314,6 +315,7 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                 comb, kd, n_supersteps=n, t0=t0, alpha_t=alpha_super,
                 t_target=t_target, mesh=mesh, cache=cache,
                 data_moves=data_moves, move_switch=move_switch,
+                split_merge=split_merge,
             )
         else:
             lane_keys = jax.vmap(
@@ -325,7 +327,7 @@ def run_exact_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                     k, st, maps, setup.spec, comb, kd, n_supersteps=n,
                     t0=t0, alpha_t=alpha_super, t_target=t_target,
                     mesh=None, cache=ca, data_moves=data_moves,
-                    move_switch=move_switch,
+                    move_switch=move_switch, split_merge=split_merge,
                 )
 
             if cache is None:
@@ -485,7 +487,8 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                      mesh=None, polish_steps: int = 0,
                      restarts: int = 1, stopping=None,
                      data_moves: bool = True,
-                     move_switch: bool = False) -> Optional[SceneResult]:
+                     move_switch: bool = False,
+                     split_merge: bool = False) -> Optional[SceneResult]:
     """Full-scene MPP inference (reference ``mpp_model.py:202-321`` infer body).
 
     ``checkpoint_path``: optional ``.npz`` the sequential sampler writes after
@@ -516,7 +519,7 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
             checkpoint_path=checkpoint_path, segment_size=segment_size,
             max_segments=max_segments, mesh=mesh, polish_steps=polish_steps,
             restarts=restarts, stopping=stopping, data_moves=data_moves,
-            move_switch=move_switch,
+            move_switch=move_switch, split_merge=split_merge,
         )
     if stopping is not None:
         logging.warning(
@@ -601,6 +604,7 @@ def run_mpp_on_scene(data: ImageWMaps, setup: EnergySetup, comb: EnergyCombiner,
                 n_supersteps=n_steps, t0=t0,
                 alpha_t=alpha_super, t_target=t_target,
                 data_moves=data_moves, move_switch=move_switch,
+                split_merge=split_merge,
             )
             scores = papangelou(final, maps, spec, comb)
             empty = jnp.zeros((0,), jnp.int32)
@@ -857,6 +861,7 @@ def run_exact_scenes_batched(
     checkpoint_path: Optional[str] = None, segment_size: int = 4096,
     polish_steps: int = 0, mesh=None, stopping=None,
     data_moves: bool = True, move_switch: bool = False,
+    split_merge: bool = False,
 ) -> List[SceneResult]:
     """EXACT whole-scene MPP over a BATCH of scenes in one device program.
 
@@ -1029,7 +1034,7 @@ def run_exact_scenes_batched(
                 k, st, mp, spec, comb, kd_, n_supersteps=n,
                 t0=t0, alpha_t=alpha_super, t_target=t_target,
                 mesh=None, cache=ca, data_moves=data_moves,
-                move_switch=move_switch,
+                move_switch=move_switch, split_merge=split_merge,
             )
 
         if cache is None:

@@ -79,14 +79,16 @@ def _scalars_only_kd(kd: KernelData) -> KernelData:
 @partial(
     jax.jit,
     static_argnames=("spec", "n_supersteps", "alpha_t", "t_target",
-                     "mesh", "hw", "data_moves", "move_switch"),
+                     "mesh", "hw", "data_moves", "move_switch",
+                     "split_merge"),
 )
 def _sharded_chain(key, init_state: PointsState, cache0: EnergyCache,
                    u0, position, mark_maps, density, mark_dists,
                    maps_sc: EnergyMaps, kd_sc: KernelData, spec: EnergySpec,
                    comb: EnergyCombiner, n_supersteps: int, t0: float,
                    alpha_t: float, t_target: float, mesh: Mesh, hw,
-                   data_moves: bool = True, move_switch: bool = False):
+                   data_moves: bool = True, move_switch: bool = False,
+                   split_merge: bool = False):
     h, w = hw
     n = mesh.devices.size
     n_cells = max(h, w) // (2 * CELL) + 1
@@ -116,6 +118,7 @@ def _sharded_chain(key, init_state: PointsState, cache0: EnergyCache,
             maps_in, spec, comb_in, kd_in, alpha_t, t_target, n_cells,
             view=view, hw=(h, w), axis_name=AXIS, n_bands=n,
             data_moves=data_moves, move_switch=move_switch,
+            split_merge=split_merge,
         )
         keys = jax.random.split(key_in, n_supersteps)
         (state, cache, energy, temp), (acc, prop) = jax.lax.scan(
@@ -149,11 +152,11 @@ def _sharded_chain(key, init_state: PointsState, cache0: EnergyCache,
 @partial(
     jax.jit,
     static_argnames=("spec", "n_supersteps", "alpha_t", "t_target",
-                     "data_moves", "move_switch"),
+                     "data_moves", "move_switch", "split_merge"),
 )
 def _local_chain(key, init_state, cache0, u0, maps, kd, spec, comb,
                  n_supersteps, t0, alpha_t, t_target, data_moves=True,
-                 move_switch=False):
+                 move_switch=False, split_merge=False):
     """Single-device whole-scene chain (the mesh=None path), same key
     schedule as the sharded body."""
     from mpp_cnn_rs_object_detection_tpu.mpp.parallel_sampler import (
@@ -165,7 +168,7 @@ def _local_chain(key, init_state, cache0, u0, maps, kd, spec, comb,
     step = make_parallel_step(
         maps, spec, comb, kd, alpha_t, t_target, n_cells,
         view=make_local_view(kd, maps), hw=(h, w), data_moves=data_moves,
-        move_switch=move_switch,
+        move_switch=move_switch, split_merge=split_merge,
     )
     keys = jax.random.split(key, n_supersteps)
     (state, cache, energy, temp), (acc, prop) = jax.lax.scan(
@@ -181,6 +184,7 @@ def run_exact_scene_chain(key, init_state: PointsState, maps: EnergyMaps,
                           mesh: Optional[Mesh] = None,
                           cache: Optional[EnergyCache] = None,
                           data_moves: bool = True, move_switch: bool = False,
+                          split_merge: bool = False,
                           ) -> Tuple[PointsState, EnergyCache, ChainStats]:
     """Run (a segment of) the exact whole-scene chain, optionally sharded.
 
@@ -197,7 +201,7 @@ def run_exact_scene_chain(key, init_state: PointsState, maps: EnergyMaps,
         state, cache, energy, temp, acc, prop = _local_chain(
             key, init_state, cache, u0, maps, kd, spec, comb,
             n_supersteps, t0, alpha_t, t_target, data_moves=data_moves,
-            move_switch=move_switch,
+            move_switch=move_switch, split_merge=split_merge,
         )
         n_kernels = kd.p_kernels.shape[0]
         stats = ChainStats(
@@ -240,5 +244,6 @@ def run_exact_scene_chain(key, init_state: PointsState, maps: EnergyMaps,
         _scalars_only_maps(maps), _scalars_only_kd(kd), spec, comb,
         n_supersteps, t0, alpha_t, t_target, mesh, (h, w),
         data_moves=data_moves, move_switch=move_switch,
+        split_merge=split_merge,
     )
     return state, cache, stats

@@ -272,3 +272,114 @@ def test_batched_apply_cache_matches_rebuild():
     np.testing.assert_allclose(np.asarray(cache.mark_e)[alive],
                                np.asarray(fresh.mark_e)[alive],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_superstep_deltas_two_slot_exact_vs_bruteforce():
+    """The TOP-3 two-slot ΔU (split=4 / merge=5) must equal the brute-force
+    delta (apply both slots + cache row refreshes + full energy recompute),
+    and single-slot lanes in the same batch must keep their exact deltas."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.parallel_sampler import (
+        superstep_deltas,
+    )
+    from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import (
+        build_cache,
+        energy_from_cache,
+        update_cache,
+    )
+    from mpp_cnn_rs_object_detection_tpu.mpp.state import state_from_arrays
+
+    maps, kd, comb, det, centers = _setup()
+    xy = np.array(
+        [[30, 30], [33, 34], [30, 120], [100, 60], [101, 63], [130, 130],
+         [70, 100], [20, 20]], np.float32,
+    )
+    marks = np.tile(np.array([[6.0, 0.6, 0.4]], np.float32), (8, 1))
+    marks[1, 2] = 1.2
+    marks[4, 2] = 2.0
+    st = state_from_arrays(xy, marks, capacity=12)  # slots 8..11 dead
+    cache = build_cache(st, maps, LEGACY_SPEC)
+    u0 = energy_from_cache(st, maps, LEGACY_SPEC, comb, cache)
+
+    # lanes: split of 0 (children overlap 1), merge of 3+4, birth, death,
+    # move — the single-slot lanes must match the top-2 path bit-for-bit
+    kinds = jnp.asarray([4, 5, 1, 2, 3], jnp.int32)
+    slots = jnp.asarray([0, 3, 9, 1, 6], jnp.int32)
+    slots2 = jnp.asarray([10, 4, -1, -1, -1], jnp.int32)
+    xys = jnp.asarray(
+        [[28.0, 28.0], [100.5, 61.5], [31.0, 125.0], [33, 34], [70, 100]],
+        jnp.float32,
+    )
+    xys2 = jnp.asarray(
+        [[32.0, 33.0], [0, 0], [0, 0], [0, 0], [0, 0]], jnp.float32
+    )
+    ms = jnp.asarray(
+        [[5.5, 0.55, 0.3], [6.0, 0.6, 1.1], [5.0, 0.5, 0.3],
+         [6, 0.6, 0.4], [7, 0.7, 0.4]], jnp.float32,
+    )
+    ms2 = jnp.asarray(
+        [[6.5, 0.65, 0.5], [1, 0.1, 0.1], [1, 0.1, 0.1], [1, 0.1, 0.1],
+         [1, 0.1, 0.1]], jnp.float32,
+    )
+    fast = np.asarray(
+        superstep_deltas(st, cache, maps, LEGACY_SPEC, comb, kinds, slots,
+                         xys, ms, slots2=slots2, xys2=xys2, markss2=ms2)
+    )
+    # single-slot lanes: cross-check against the top-2 path
+    fast1 = np.asarray(
+        superstep_deltas(st, cache, maps, LEGACY_SPEC, comb, kinds[2:],
+                         slots[2:], xys[2:], ms[2:])
+    )
+    np.testing.assert_allclose(fast[2:], fast1, rtol=1e-5, atol=1e-5)
+
+    def apply_two(kind, s, xy_s, m_s, s2, xy_s2, m_s2):
+        new_xy = st.xy.at[s].set(xy_s)
+        new_marks = st.marks.at[s].set(m_s)
+        new_alive = st.alive
+        if kind == 4:
+            new_xy = new_xy.at[s2].set(xy_s2)
+            new_marks = new_marks.at[s2].set(m_s2)
+            new_alive = new_alive.at[s2].set(True)
+        else:
+            new_alive = new_alive.at[s2].set(False)
+        st2 = st.replace(xy=new_xy, marks=new_marks, alive=new_alive)
+        ca = update_cache(st2, maps, LEGACY_SPEC, cache, s)
+        ca = update_cache(st2, maps, LEGACY_SPEC, ca, s2)
+        return energy_from_cache(st2, maps, LEGACY_SPEC, comb, ca)
+
+    for i in range(2):
+        u_i = apply_two(int(kinds[i]), int(slots[i]), xys[i], ms[i],
+                        int(slots2[i]), xys2[i], ms2[i])
+        np.testing.assert_allclose(
+            fast[i], float(u_i - u0), rtol=1e-4, atol=1e-4,
+            err_msg=f"two-slot proposal {i} (kind {int(kinds[i])})",
+        )
+
+
+def test_split_merge_superstep_equilibrium_and_cache():
+    """A chain with the split/merge pair enabled reaches a comparable
+    equilibrium on the same posterior, keeps its energy bookkeeping exact,
+    and its scattered cache matches a from-scratch rebuild."""
+    from mpp_cnn_rs_object_detection_tpu.mpp.rjmcmc import (
+        build_cache,
+        energy_from_cache,
+    )
+
+    maps, kd, comb, det, centers = _setup()
+    final, stats = run_parallel_chain(
+        jax.random.PRNGKey(3), empty_state(32), maps, LEGACY_SPEC, comb, kd,
+        n_supersteps=800, alpha_t=0.994, split_merge=True,
+    )
+    n = int(final.n_points)
+    assert 3 <= n <= 10, f"expected ~5 objects, got {n}"
+    # bookkeeping: carried energy must equal a recompute on the final state
+    fresh = build_cache(final, maps, LEGACY_SPEC)
+    u_fresh = float(energy_from_cache(final, maps, LEGACY_SPEC, comb, fresh))
+    np.testing.assert_allclose(
+        float(stats.final_energy), u_fresh, rtol=1e-3, atol=1e-3
+    )
+    # detections sit on the planted blobs
+    xy, marks = state_to_arrays(final)
+    d = np.linalg.norm(
+        xy[:, None, :] - np.asarray(centers, np.float32)[None], axis=-1
+    )
+    assert (d.min(axis=1) < 6.0).mean() > 0.6

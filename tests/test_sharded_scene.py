@@ -269,3 +269,37 @@ def test_scene_shape_bucket_signature_sharing():
     assert th % 8 == 0 and (th, tw) == (1024, 1024)
     th, _ = scene_shape_bucket(256, 192, n_dev=8)
     assert th % 8 == 0 and th >= 2 * 32 * 8
+
+
+def test_sharded_matches_single_device_with_split_merge():
+    """Bit-equality of sharded vs single-device chains holds with the
+    superstep split/merge pair enabled (round 5): the two-slot proposal
+    records (slot2/xy2/marks2 + second-point unaries) must psum-merge over
+    the mesh exactly like the single-slot records."""
+    maps, kd, comb, det = _scene(CENTERS)
+    init = empty_state(capacity=32)
+    key = jax.random.PRNGKey(11)
+
+    base_state, _, base_stats = run_exact_scene_chain(
+        key, init, maps, LEGACY_SPEC, comb, kd, n_supersteps=400,
+        t0=1.0, alpha_t=0.985, t_target=0.0, mesh=None, split_merge=True,
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("rows",))
+    sh_state, _, sh_stats = run_exact_scene_chain(
+        key, init, maps, LEGACY_SPEC, comb, kd, n_supersteps=400,
+        t0=1.0, alpha_t=0.985, t_target=0.0, mesh=mesh, split_merge=True,
+    )
+    assert int(base_state.n_points) > 0
+    np.testing.assert_array_equal(
+        np.asarray(sh_state.alive), np.asarray(base_state.alive)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.xy), np.asarray(base_state.xy), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.marks), np.asarray(base_state.marks), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(sh_stats.final_energy), float(base_stats.final_energy),
+        rtol=1e-4, atol=1e-4,
+    )
