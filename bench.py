@@ -718,7 +718,10 @@ def _run_benchmarks(det, dists, on_cpu):
 
     def _watch():
         while True:
-            time.sleep(30.0)
+            for _ in range(30):  # 1 s ticks: disarm within a second
+                time.sleep(1.0)
+                if hb["done"]:
+                    return
             if hb["done"]:
                 return
             if time.time() - hb["t"] > 900.0:
@@ -731,7 +734,8 @@ def _run_benchmarks(det, dists, on_cpu):
                 os.execve(sys.executable,
                           [sys.executable, os.path.abspath(__file__)], env)
 
-    threading.Thread(target=_watch, daemon=True).start()
+    threading.Thread(target=_watch, daemon=True,
+                     name="bench-watchdog").start()
     scratch = _load_scratch()
     try:
         for name, fn in _STAGES:
@@ -766,7 +770,12 @@ def _run_benchmarks(det, dists, on_cpu):
         env = dict(os.environ, BENCH_ATTEMPT=str(attempt + 1))
         os.execve(sys.executable,
                   [sys.executable, os.path.abspath(__file__)], env)
-    hb["done"] = True
+    finally:
+        # disarm on EVERY exit (including the early fatal-error return):
+        # a surviving watchdog thread in a long-lived host process would
+        # execve it into bench.py 900 s later — observed live when the
+        # resilience tests' host pytest process got replaced mid-suite
+        hb["done"] = True
     _emit(True)
 
 

@@ -191,3 +191,25 @@ def test_deadline_emits_partial_json(tmp_path):
     )
     assert result["value"] == 888.0
     assert result["extra"]["complete"] is False
+
+
+def test_watchdog_disarmed_after_fatal_return(bench, monkeypatch):
+    """The hang watchdog must die when _run_benchmarks exits via the
+    fatal-error path — a surviving daemon thread execve's its HOST process
+    into bench.py 900 s later (observed live: a pytest process running
+    this suite was replaced mid-run)."""
+    import threading
+    import time as _time
+
+    monkeypatch.setattr(
+        bench, "_STAGES", _fake_stages(bench, fail_at="jax")
+    )
+    with redirect_stdout(io.StringIO()):
+        bench._run_benchmarks(None, None, on_cpu=False)
+    deadline = _time.time() + 10.0
+    while _time.time() < deadline:
+        if not any(t.name == "bench-watchdog" and t.is_alive()
+                   for t in threading.enumerate()):
+            return
+        _time.sleep(0.5)
+    raise AssertionError("bench-watchdog thread survived _run_benchmarks")
